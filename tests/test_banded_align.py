@@ -1,0 +1,109 @@
+"""K3 banded alignment vs unbanded NumPy oracle (property tests)."""
+
+import numpy as np
+import pytest
+
+from jtk_tpu.ops import oracle
+from jtk_tpu.ops.banded_align import (
+    banded_align_batch, diagonal_offsets, edit_align, linear_offsets, ops_rle,
+    traceback_batch,
+)
+
+
+def _mutate(rng, seq, err):
+    """Apply random sub/ins/del at rate err; returns mutated copy."""
+    out = []
+    for b in seq:
+        r = rng.random()
+        if r < err / 3:
+            continue  # deletion
+        if r < 2 * err / 3:
+            out.append(rng.integers(0, 4))  # substitution (may be same)
+            continue
+        if r < err:
+            out.append(b)
+            out.append(rng.integers(0, 4))  # insertion after
+            continue
+        out.append(b)
+    return np.array(out, dtype=np.int8)
+
+
+def _check_cigar(q, r, cigar, score, ref_start, ref_end):
+    """CIGAR must consume exactly q and r[ref_start:ref_end] and cost == score."""
+    qi, rj, cost = 0, ref_start, 0
+    for k, l in cigar:
+        if k == "M":
+            cost += int(np.sum(q[qi:qi + l] != r[rj:rj + l]))
+            qi += l
+            rj += l
+        elif k == "I":
+            cost += l
+            qi += l
+        else:
+            cost += l
+            rj += l
+    assert qi == len(q)
+    assert rj == ref_end
+    assert cost == score, (cost, score)
+
+
+@pytest.mark.parametrize("err", [0.0, 0.05, 0.15])
+def test_global_matches_oracle(err):
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        r = rng.integers(0, 4, size=300).astype(np.int8)
+        q = _mutate(rng, r, err)
+        score, cigar, rs, re = edit_align(q, r, W=128, mode="global")
+        oscore, _, _, _ = oracle.edit_dp(q, r, "global")
+        assert score == oscore, (err, trial)
+        _check_cigar(q, r, cigar, score, rs, re)
+        assert rs == 0 and re == len(r)
+
+
+@pytest.mark.parametrize("err", [0.0, 0.10])
+def test_infix_matches_oracle(err):
+    rng = np.random.default_rng(1)
+    for trial in range(5):
+        r = rng.integers(0, 4, size=500).astype(np.int8)
+        start = int(rng.integers(0, 150))
+        q = _mutate(rng, r[start:start + 200], err)
+        score, cigar, rs, re = edit_align(q, r, W=256, mode="infix", diag=start)
+        oscore, _, _, _ = oracle.edit_dp(q, r, "infix")
+        assert score == oscore, (err, trial, score, oscore)
+        _check_cigar(q, r, cigar, score, rs, re)
+
+
+def test_batch_variable_lengths():
+    rng = np.random.default_rng(2)
+    W, Q, T = 128, 260, 280
+    qs, rs_arr, offs, qls, tls = [], [], [], [], []
+    pairs = []
+    for _ in range(6):
+        tl = int(rng.integers(150, 260))
+        r = rng.integers(0, 4, size=tl).astype(np.int8)
+        q = _mutate(rng, r, 0.08)
+        ql = len(q)
+        pairs.append((q, r))
+        qp = np.full(Q, 4, np.int8); qp[:ql] = q
+        rp = np.full(T, 4, np.int8); rp[:tl] = r
+        qs.append(qp); rs_arr.append(rp)
+        offs.append(linear_offsets(ql, tl, Q, W))
+        qls.append(ql); tls.append(tl)
+    res = banded_align_batch(np.stack(qs), np.stack(rs_arr), np.stack(offs),
+                             np.array(qls), np.array(tls), W, "global")
+    ops, ref_starts = traceback_batch(res["ptrs"], np.stack(offs), np.array(qls),
+                                      res["end_j"], "global")
+    for b, (q, r) in enumerate(pairs):
+        oscore, _, _, _ = oracle.edit_dp(q, r, "global")
+        assert int(res["score"][b]) == oscore
+        _check_cigar(q, r, ops_rle(ops[b]), int(res["score"][b]),
+                     int(ref_starts[b]), int(res["end_j"][b]))
+
+
+def test_band_offsets_shapes():
+    off = linear_offsets(100, 200, 120, 64)
+    assert off.shape == (121,)
+    assert off[0] == 0
+    assert (np.diff(off) >= 0).all()
+    off2 = diagonal_offsets(100, 50, 400, 120, 64)
+    assert (np.diff(off2) >= 0).all()
