@@ -1,0 +1,113 @@
+"""Template polishing: iterate best-edit search over a read pileup.
+
+Replaces kiley's ``polish_until_converge(_antidiagonal|_with)`` (used by
+polish_chunks.rs:36-90, local_clustering, consensus — SURVEY.md §2.3).
+
+Each round: per-read modification tables (K2) are summed across the pileup;
+every edit with total gain > ``min_gain`` is applied, greedily left-to-right
+with a minimum spacing so independent per-edit estimates stay valid; repeat
+until no improving edit remains.  The device work is batched over
+(reads x edits); the tiny edit application is host-side numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .banded_align import linear_offsets
+from .modtable import NUM_EDIT, modification_table_pileup
+from .phmm import PHMMParams
+
+
+def _pad_to(x, n, fill):
+    out = np.full(n, fill, dtype=np.int8)
+    out[: len(x)] = x
+    return out
+
+
+def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
+                              params: PHMMParams, W: int, Tpad: int,
+                              max_batch: int = 256):
+    """Sum of per-read modification tables and baseline LKs.
+
+    Returns (lks (R,), total_gain (Tpad+1, 9)) where total_gain[j, e] =
+    sum_r [LK_r(edit) - LK_r].
+    """
+    t_len = len(template)
+    tpl = _pad_to(template, Tpad, 4)
+    R = len(reads)
+    Qpad = int(max(len(r) for r in reads))
+    Qpad = ((Qpad + 63) // 64) * 64
+    qs = np.stack([_pad_to(r, Qpad, 4) for r in reads])
+    q_lens = np.array([len(r) for r in reads], np.int32)
+    offs = np.stack([linear_offsets(int(l), t_len, Qpad, W) for l in q_lens])
+    lks = np.zeros(R, np.float64)
+    total = np.zeros((Tpad + 1, NUM_EDIT), np.float64)
+    for s in range(0, R, max_batch):
+        e = min(R, s + max_batch)
+        lk, tab = modification_table_pileup(
+            qs[s:e], tpl, offs[s:e], q_lens[s:e], np.int32(t_len), params, W, Tpad)
+        lk = np.asarray(lk, np.float64)
+        tab = np.asarray(tab, np.float64)
+        lks[s:e] = lk
+        gain = tab - lk[:, None, None]
+        total += np.where(tab < -1e29, -1e30, gain).sum(axis=0)  # masked stay very negative
+    return lks, total
+
+
+def choose_edits(total_gain: np.ndarray, t_len: int, min_gain: float,
+                 spacing: int = 8):
+    """Greedy non-interacting edit selection: best edit per position, positions
+    at least ``spacing`` apart, gain > min_gain."""
+    tg = total_gain[: t_len + 1].copy()
+    best_e = np.argmax(tg, axis=1)
+    best_g = tg[np.arange(len(tg)), best_e]
+    order = np.argsort(-best_g)
+    chosen = []
+    used = np.zeros(len(tg), bool)
+    for j in order:
+        if best_g[j] <= min_gain:
+            break
+        lo, hi = max(0, j - spacing), min(len(tg), j + spacing + 1)
+        if used[lo:hi].any():
+            continue
+        used[j] = True
+        chosen.append((int(j), int(best_e[j]), float(best_g[j])))
+    return chosen
+
+
+def apply_edits(template: np.ndarray, edits) -> np.ndarray:
+    """Apply (pos, edit_code, gain) edits; edit codes follow modtable layout."""
+    t = template
+    for j, e, _ in sorted(edits, reverse=True):
+        if e < 4:  # substitution
+            t = np.concatenate([t[:j], [e], t[j + 1:]])
+        elif e == 4:  # deletion
+            t = np.concatenate([t[:j], t[j + 1:]])
+        else:  # insertion before j
+            t = np.concatenate([t[:j], [e - 5], t[j:]])
+    return t.astype(np.int8)
+
+
+def polish_until_converge(template: np.ndarray, reads: list[np.ndarray],
+                          params: PHMMParams, W: int = 128,
+                          max_rounds: int = 20, min_gain: float = 0.1,
+                          spacing: int = 8):
+    """Polish ``template`` against ``reads`` until no improving edit remains.
+
+    Returns (polished_template, final_lks).
+    """
+    if not reads:
+        return template, np.zeros(0)
+    tpl = np.asarray(template, np.int8)
+    Tpad = ((len(tpl) + 127) // 128) * 128 + 128  # headroom for insertions
+    lks = None
+    for _ in range(max_rounds):
+        if len(tpl) + 8 > Tpad:
+            Tpad += 128
+        lks, total = pileup_modification_gains(tpl, reads, params, W, Tpad)
+        edits = choose_edits(total, len(tpl), min_gain, spacing)
+        if not edits:
+            break
+        tpl = apply_edits(tpl, edits)
+    return tpl, lks

@@ -1,0 +1,88 @@
+"""K2 modification table vs brute-force re-run of the forward oracle."""
+
+import numpy as np
+import pytest
+
+from jtk_tpu.datamodel import HMMParam
+from jtk_tpu.ops import oracle
+from jtk_tpu.ops.banded_align import linear_offsets
+from jtk_tpu.ops.modtable import modification_table
+from jtk_tpu.ops.phmm import PHMMParams
+
+PAR = HMMParam()
+PARD = {k: getattr(PAR, k) for k in
+        ("mat_mat", "mat_ins", "mat_del", "ins_mat", "ins_ins", "ins_del",
+         "del_mat", "del_ins", "del_del")}
+PARD["mat_emit"] = PAR.mat_emit
+PARD["ins_emit"] = PAR.ins_emit
+
+
+def _mutate(rng, seq, err):
+    out = []
+    for b in seq:
+        x = rng.random()
+        if x < err / 3:
+            continue
+        if x < 2 * err / 3:
+            out.append(rng.integers(0, 4))
+            continue
+        if x < err:
+            out.append(b)
+            out.append(rng.integers(0, 4))
+            continue
+        out.append(b)
+    return np.array(out, dtype=np.int8)
+
+
+def _table(q, r, W=64, Tpad=None):
+    Tpad = Tpad if Tpad is not None else len(r)
+    params = PHMMParams.from_hmmparam(PAR)
+    off = linear_offsets(len(q), len(r), len(q), W)
+    lk, tab = modification_table(
+        np.asarray(q, np.int8), np.asarray(r, np.int8), off,
+        np.int32(len(q)), np.int32(len(r)), params, W, Tpad)
+    return float(lk), np.asarray(tab)
+
+
+def test_identity_sub_equals_baseline():
+    rng = np.random.default_rng(0)
+    r = rng.integers(0, 4, size=40).astype(np.int8)
+    q = _mutate(rng, r, 0.05)
+    lk, tab = _table(q, r)
+    for j in range(len(r)):
+        assert abs(tab[j, int(r[j])] - lk) < 2e-2, (j, tab[j, int(r[j])], lk)
+
+
+def test_table_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    r = rng.integers(0, 4, size=30).astype(np.int8)
+    q = _mutate(rng, r, 0.10)
+    lk, tab = _table(q, r)
+    olk = oracle.phmm_forward(q, r, PARD)
+    assert abs(lk - olk) < 2e-2
+    # every sub / del / ins entry vs recomputing forward on the edited template
+    for j in [0, 5, 14, 29]:
+        for b in range(4):
+            want = oracle.phmm_forward(q, oracle.apply_edit(r, "S", j, b), PARD)
+            assert abs(tab[j, b] - want) < 3e-2, ("S", j, b, tab[j, b], want)
+        want = oracle.phmm_forward(q, oracle.apply_edit(r, "D", j), PARD)
+        assert abs(tab[j, 4] - want) < 3e-2, ("D", j, tab[j, 4], want)
+    for j in [0, 7, 15, 30]:  # insert positions include T
+        for b in range(4):
+            want = oracle.phmm_forward(q, oracle.apply_edit(r, "I", j, b), PARD)
+            assert abs(tab[j, 5 + b] - want) < 3e-2, ("I", j, b, tab[j, 5 + b], want)
+
+
+def test_true_variant_has_positive_gain():
+    """A read drawn from an edited template should prefer that edit."""
+    rng = np.random.default_rng(2)
+    r = rng.integers(0, 4, size=40).astype(np.int8)
+    jpos = 20
+    b_true = int((r[jpos] + 2) % 4)
+    r_hap = oracle.apply_edit(r, "S", jpos, b_true)
+    gains = []
+    for _ in range(5):
+        q = _mutate(rng, r_hap, 0.05)
+        lk, tab = _table(q, r)
+        gains.append(tab[jpos, b_true] - lk)
+    assert np.mean(gains) > 1.0, gains

@@ -1,0 +1,40 @@
+"""Polisher: recovers a template from noisy reads (kiley polish parity test)."""
+
+import numpy as np
+
+from jtk_tpu.datamodel import HMMParam
+from jtk_tpu.ops.phmm import PHMMParams
+from jtk_tpu.ops.polish import polish_until_converge
+
+
+def _mutate(rng, seq, err):
+    out = []
+    for b in seq:
+        x = rng.random()
+        if x < err / 3:
+            continue
+        if x < 2 * err / 3:
+            out.append((b + 1 + rng.integers(0, 3)) % 4)
+            continue
+        if x < err:
+            out.append(b)
+            out.append(rng.integers(0, 4))
+            continue
+        out.append(b)
+    return np.array(out, dtype=np.int8)
+
+
+def test_polish_recovers_template():
+    rng = np.random.default_rng(0)
+    true = rng.integers(0, 4, size=150).astype(np.int8)
+    # draft = true + a few errors
+    draft = _mutate(rng, true, 0.02)
+    reads = [_mutate(rng, true, 0.05) for _ in range(12)]
+    params = PHMMParams.from_hmmparam(HMMParam())
+    polished, lks = polish_until_converge(draft, reads, params, W=64)
+    # edit distance of polished vs true should be (near) zero
+    from jtk_tpu.ops.banded_align import edit_align
+    d, _, _, _ = edit_align(polished, true, W=64, mode="global")
+    d0, _, _, _ = edit_align(draft, true, W=64, mode="global")
+    assert d <= max(1, d0 // 8), (d0, d)
+    assert len(lks) == 12
