@@ -1,0 +1,208 @@
+"""K4 — seed-chain-extend read↔chunk mapper (replaces minimap2).
+
+The reference shells out to minimap2 for read->chunk mapping (`-c --eqx -P`,
+``encode/mod.rs:315-355``) and chunk-overlap detection (`-X -P ava`,
+``determine_chunks.rs:255-287``).  The chunk set here is tiny (<=~1000 units of
+~2 kbp), so a TPU-first design needs no general-purpose mapper:
+
+  1. host: packed k-mer index (uint64 2-bit codes) over all chunks, sorted for
+     vectorized ``np.searchsorted`` lookup; high-occurrence k-mers are skipped
+     (repeat masking, mirroring minimap2's frequency filter);
+  2. host: per (chunk, strand) diagonal-bin voting picks candidate placements;
+  3. device: every candidate is verified by the K3 banded-alignment kernel
+     (chunk globally aligned inside a read window, free window ends), batched
+     across all candidates of all reads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import seq as seqmod
+from ..ops.banded_align import (
+    banded_align_batch, diagonal_offsets, ops_rle, traceback_batch,
+)
+
+
+def pack_kmers(codes: np.ndarray, k: int):
+    """All k-mers of ``codes`` packed into uint64; returns (vals, valid)."""
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, bool)
+    vals = np.zeros(n, dtype=np.uint64)
+    bad = np.zeros(n, dtype=bool)
+    for t in range(k):
+        c = codes[t:t + n]
+        vals = (vals << np.uint64(2)) | (c.astype(np.uint64) & np.uint64(3))
+        bad |= c > 3
+    return vals, ~bad
+
+
+@dataclass
+class Candidate:
+    read_idx: int
+    chunk_id: int
+    is_forward: bool
+    window_start: int  # in strand coordinates (rc coords when reverse)
+    window_len: int
+    n_hits: int
+
+
+class ChunkIndex:
+    """Sorted k-mer table over the chunk set."""
+
+    def __init__(self, chunk_seqs: dict[int, np.ndarray], k: int = 15,
+                 max_occ: int = 64):
+        self.k = k
+        self.max_occ = max_occ
+        self.chunk_len = {cid: len(s) for cid, s in chunk_seqs.items()}
+        km, cid_arr, pos_arr = [], [], []
+        for cid, codes in chunk_seqs.items():
+            vals, ok = pack_kmers(np.asarray(codes, np.int8), k)
+            idx = np.nonzero(ok)[0]
+            km.append(vals[idx])
+            cid_arr.append(np.full(len(idx), cid, np.int64))
+            pos_arr.append(idx.astype(np.int32))
+        if km:
+            km = np.concatenate(km)
+            cid_arr = np.concatenate(cid_arr)
+            pos_arr = np.concatenate(pos_arr)
+        else:
+            km = np.zeros(0, np.uint64)
+            cid_arr = np.zeros(0, np.int64)
+            pos_arr = np.zeros(0, np.int32)
+        order = np.argsort(km, kind="stable")
+        self.kmers = km[order]
+        self.cids = cid_arr[order]
+        self.poss = pos_arr[order]
+
+    def _hits(self, read_kmers: np.ndarray, valid: np.ndarray):
+        """(read_pos, chunk_id, chunk_pos) for every index hit."""
+        rk = read_kmers[valid]
+        rpos = np.nonzero(valid)[0]
+        lo = np.searchsorted(self.kmers, rk, "left")
+        hi = np.searchsorted(self.kmers, rk, "right")
+        occ = hi - lo
+        keep = (occ > 0) & (occ <= self.max_occ)
+        lo, hi, rpos = lo[keep], hi[keep], rpos[keep]
+        occ = hi - lo
+        if len(lo) == 0:
+            return (np.zeros(0, np.int64),) * 3
+        idx = np.repeat(lo, occ) + (
+            np.arange(occ.sum()) - np.repeat(np.cumsum(occ) - occ, occ))
+        read_pos = np.repeat(rpos, occ)
+        return read_pos, self.cids[idx], self.poss[idx].astype(np.int64)
+
+    def candidates_one_strand(self, codes: np.ndarray, read_idx: int,
+                              is_forward: bool, min_hits: int, margin: int,
+                              stride: int = 3):
+        vals, ok = pack_kmers(codes, self.k)
+        if stride > 1:
+            sl = np.zeros_like(ok)
+            sl[::stride] = True
+            ok = ok & sl
+        rp, cid, cp = self._hits(vals, ok)
+        if len(rp) == 0:
+            return []
+        diag = rp - cp
+        BIN = 128
+        dbin = diag // BIN
+        key = cid * (1 << 22) + (dbin + (1 << 20))
+        out = []
+        order = np.argsort(key, kind="stable")
+        key_s, rp_s, cid_s, diag_s, cp_s = (key[order], rp[order], cid[order],
+                                            diag[order], cp[order])
+        uniq, starts, counts = np.unique(key_s, return_index=True,
+                                         return_counts=True)
+        # merge adjacent bins for the same chunk
+        taken = set()
+        cnt_by_key = dict(zip(uniq.tolist(), counts.tolist()))
+        for u, st, ct in zip(uniq, starts, counts):
+            c2 = ct + cnt_by_key.get(int(u) + 1, 0)
+            if c2 < min_hits:
+                continue
+            prev = cnt_by_key.get(int(u) - 1, 0)
+            if prev > ct:  # the pair (u-1, u) is better started at u-1
+                continue
+            cidv = int(cid_s[st])
+            if (cidv, int(u)) in taken or (cidv, int(u) - 1) in taken:
+                continue
+            taken.add((cidv, int(u)))
+            taken.add((cidv, int(u) + 1))
+            sel = slice(st, st + ct)
+            dmed = int(np.median(diag_s[sel]))
+            clen = self.chunk_len[cidv]
+            wstart = dmed - margin
+            wlen = clen + 2 * margin
+            out.append(Candidate(read_idx, cidv, is_forward, wstart, wlen,
+                                 int(c2)))
+        return out
+
+    def candidates(self, codes: np.ndarray, read_idx: int, min_hits: int = 4,
+                   margin: int = 200, stride: int = 3):
+        fwd = self.candidates_one_strand(codes, read_idx, True, min_hits,
+                                         margin, stride)
+        rc = seqmod.revcomp(codes)
+        rev = self.candidates_one_strand(rc, read_idx, False, min_hits,
+                                         margin, stride)
+        return fwd + rev
+
+
+def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
+                      chunk_seqs: dict[int, np.ndarray], W: int = 256,
+                      margin: int = 200, batch: int = 512):
+    """Verify candidates with the K3 kernel: chunk globally aligned inside the
+    read window (free window ends).  Returns per-candidate dicts with
+    dist, cigar (chunk-as-query), window span, and strand-coord positions.
+    """
+    if not cands:
+        return []
+    Qpad = max(len(chunk_seqs[c.chunk_id]) for c in cands)
+    Qpad = ((Qpad + 127) // 128) * 128
+    Tpad = ((max(c.window_len for c in cands) + 127) // 128) * 128
+    results = []
+    for s in range(0, len(cands), batch):
+        chunk_batch = cands[s:s + batch]
+        B = len(chunk_batch)
+        qs = np.full((B, Qpad), 4, np.int8)
+        rs = np.full((B, Tpad), 4, np.int8)
+        q_lens = np.zeros(B, np.int32)
+        t_lens = np.zeros(B, np.int32)
+        offs = np.zeros((B, Qpad + 1), np.int32)
+        wstarts = np.zeros(B, np.int64)
+        for b, c in enumerate(chunk_batch):
+            cseq = chunk_seqs[c.chunk_id]
+            rseq = read_codes[c.read_idx]
+            if not c.is_forward:
+                rseq = seqmod.revcomp(rseq)
+            a = max(c.window_start, 0)
+            bnd = min(c.window_start + c.window_len, len(rseq))
+            win = rseq[a:bnd]
+            qs[b, :len(cseq)] = cseq
+            rs[b, :len(win)] = win
+            q_lens[b] = len(cseq)
+            t_lens[b] = len(win)
+            # expected window position of chunk pos 0:
+            diag = c.window_start + margin - a
+            offs[b] = diagonal_offsets(len(cseq), diag, len(win), Qpad, W)
+            wstarts[b] = a
+        res = banded_align_batch(qs, rs, offs, q_lens, t_lens, W, "infix")
+        ops_list, ref_starts = traceback_batch(res["ptrs"], offs, q_lens,
+                                               res["end_j"], "infix")
+        for b, c in enumerate(chunk_batch):
+            results.append({
+                "cand": c,
+                "dist": int(res["score"][b]),
+                "ops": ops_rle(ops_list[b]),
+                "span_start": int(wstarts[b] + ref_starts[b]),
+                "span_end": int(wstarts[b] + res["end_j"][b]),
+            })
+    return results
+
+
+def flip_cigar(ops):
+    """Chunk-as-query cigar -> read-as-query cigar (swap I/D)."""
+    sw = {"M": "M", "I": "D", "D": "I"}
+    return [(sw[k], l) for k, l in ops]

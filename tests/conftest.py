@@ -1,14 +1,11 @@
-"""Test configuration: force CPU with an 8-device virtual mesh.
+"""Test configuration: force CPU.
 
-Sharding/collective code paths are validated on a virtual CPU mesh
-(multi-chip TPU hardware is exercised by the driver's dryrun_multichip).
+Note: we deliberately do NOT set xla_force_host_platform_device_count here —
+with 8 virtual devices the first MLIR lowering in the process takes ~2min
+(vs ~25s with 1 device).  Sharding tests (tests/test_parallel.py) spawn
+subprocesses with the flag set explicitly.
 """
 
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
