@@ -1,0 +1,209 @@
+"""Device clustering kernels: k-means++ init + Metropolis refinement.
+
+Reference: ``haplotyper/src/local_clustering/pseudo_mcmc.rs`` — objective
+``get_lk`` (:785-799): Poisson cluster-size prior (best multiple of haploid
+coverage) plus, for every *used* column, the positive part of each cluster's
+column gain; used columns (:846-869) are informative in some cluster
+(gain>0 and >70% positive members) with positives concentrated in positive-
+gain clusters (ratio 2).  ``mcmc_clustering`` (:649-672) runs 20 restarts of
+k-means++ init + 2000·n Metropolis flips.
+
+TPU-native design: all restarts of MANY chunks run as parallel lanes
+(B, restarts) of a single ``lax.scan`` Metropolis chain; each step is O(K·V)
+vector work per lane on the VPU, randomness from counter-derived keys (fully
+deterministic given the seed).  Feature matrices are padded to (Rmax, V);
+padded rows carry zero weight.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+POS_THR = 1e-5
+POS_FRAC = 0.70
+IN_POS_RATIO = 2.0
+
+
+def poisson_size_table(Rmax: int, cov: float, K: int) -> np.ndarray:
+    """size_to_lk[x] = max_{1<=c<=K} log Poisson(x | c*cov)."""
+    xs = np.arange(Rmax + 1, dtype=np.float64)
+    best = np.full(Rmax + 1, -np.inf)
+    for c in range(1, max(K, 1) + 1):
+        lam = max(cov * c, 1e-3)
+        lp = xs * np.log(lam) - lam - np.array(
+            [np.sum(np.log(np.arange(1, int(x) + 1))) if x > 0 else 0.0 for x in xs])
+        best = np.maximum(best, lp)
+    return best.astype(np.float32)
+
+
+def _objective(agg_gain, agg_pos, agg_neg, counts, size_lk):
+    """Vectorized get_lk: (…, K, V) aggregates -> (…,) scalar."""
+    informative = (agg_gain > 0) & (
+        agg_pos > POS_FRAC * (agg_pos + agg_neg + 1e-7))
+    any_inf = jnp.any(informative, axis=-2)                      # (..., V)
+    pos_in_use = jnp.sum(jnp.where(agg_gain > 0, agg_pos, 0.0), axis=-2)
+    pos_in_neg = jnp.sum(jnp.where(agg_gain <= 0, agg_pos, 0.0), axis=-2)
+    used = any_inf & (pos_in_neg * IN_POS_RATIO < pos_in_use)    # (..., V)
+    gain_term = jnp.sum(
+        jnp.where(used[..., None, :], jnp.maximum(agg_gain, 0.0), 0.0),
+        axis=(-1, -2))
+    cidx = jnp.clip(counts.astype(jnp.int32), 0, size_lk.shape[-1] - 1)
+    size_term = jnp.sum(jnp.take_along_axis(size_lk[..., None, :], cidx[..., None],
+                                            axis=-1)[..., 0], axis=-1)
+    return gain_term + size_term
+
+
+def _aggregates(X, w, assign, K):
+    """(…, R, V) features, (…, R) weights, (…, R) assignment -> per-cluster
+    (gain, pos, neg, counts)."""
+    oh = jax.nn.one_hot(assign, K, dtype=X.dtype) * w[..., None]   # (..., R, K)
+    ohT = jnp.swapaxes(oh, -1, -2)                                  # (..., K, R)
+    agg_gain = ohT @ X
+    agg_pos = ohT @ (X > POS_THR).astype(X.dtype)
+    agg_neg = ohT @ (X < -POS_THR).astype(X.dtype)
+    counts = jnp.sum(oh, axis=-2)
+    return agg_gain, agg_pos, agg_neg, counts
+
+
+def _kmeanspp_init(X, w, key, K, lloyd_iters=10):
+    """k-means++ seeding + Lloyd iterations.  X: (R, V); returns assign (R,)."""
+    R, V = X.shape
+    k0, key = jax.random.split(key)
+    logw = jnp.where(w > 0, 0.0, -jnp.inf)
+    first = jax.random.categorical(k0, logw)
+    centers = jnp.zeros((K, V), X.dtype).at[0].set(X[first])
+
+    def pick(j, state):
+        centers, key = state
+        key, sub = jax.random.split(key)
+        d2 = jnp.min(
+            jnp.where(jnp.arange(K)[:, None] < j,
+                      jnp.sum((X[None] - centers[:, None]) ** 2, -1), jnp.inf),
+            axis=0)
+        logits = jnp.where(w > 0, jnp.log(d2 + 1e-9), -jnp.inf)
+        nxt = jax.random.categorical(sub, logits)
+        return centers.at[j].set(X[nxt]), key
+
+    centers, key = jax.lax.fori_loop(1, K, pick, (centers, key))
+
+    def lloyd(_, centers):
+        d2 = jnp.sum((X[None] - centers[:, None]) ** 2, -1)      # (K, R)
+        assign = jnp.argmin(d2, axis=0)
+        oh = jax.nn.one_hot(assign, K, dtype=X.dtype) * w[:, None]
+        tot = oh.sum(0)[:, None] + 1e-9
+        newc = (oh.T @ X) / tot
+        keep = (oh.sum(0) > 0)[:, None]
+        return jnp.where(keep, newc, centers)
+
+    centers = jax.lax.fori_loop(0, lloyd_iters, lloyd, centers)
+    assign = jnp.argmin(jnp.sum((X[None] - centers[:, None]) ** 2, -1), axis=0)
+    return jnp.where(w > 0, assign, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "steps", "restarts"))
+def mcmc_cluster_batch(X, R_actual, size_lk, key, K: int, steps: int,
+                       restarts: int):
+    """Cluster a batch of feature matrices.
+
+    X: (B, Rmax, V) float32, padded rows zero.  R_actual: (B,).
+    size_lk: (B, Rmax+1) Poisson size prior tables.
+    Returns (best_assign (B, Rmax) int32, best_score (B,) f32).
+    """
+    B, Rmax, V = X.shape
+    w = (jnp.arange(Rmax)[None, :] < R_actual[:, None]).astype(X.dtype)  # (B,R)
+
+    lane_keys = jax.random.split(key, B * restarts).reshape(B, restarts, 2)
+    init = jax.vmap(lambda Xb, wb, keys: jax.vmap(
+        lambda kk: _kmeanspp_init(Xb, wb, kk, K))(keys))(X, w, lane_keys)
+    # init: (B, restarts, Rmax)
+
+    Xl = X[:, None]                       # (B, 1, R, V) broadcast over restarts
+    wl = w[:, None]
+    agg_gain, agg_pos, agg_neg, counts = _aggregates(
+        jnp.broadcast_to(Xl, (B, restarts, Rmax, V)),
+        jnp.broadcast_to(wl, (B, restarts, Rmax)), init, K)
+    lk = _objective(agg_gain, agg_pos, agg_neg, counts, size_lk[:, None, :])
+
+    state = dict(assign=init, agg_gain=agg_gain, agg_pos=agg_pos,
+                 agg_neg=agg_neg, counts=counts, lk=lk,
+                 best_lk=lk, best_assign=init)
+
+    def step(state, t):
+        kt = jax.random.fold_in(key, t)
+        k1, k2, k3 = jax.random.split(kt, 3)
+        u_idx = jax.random.uniform(k1, (B, restarts))
+        idx = jnp.floor(u_idx * R_actual[:, None]).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, Rmax - 1)
+        old = jnp.take_along_axis(state["assign"], idx[..., None], -1)[..., 0]
+        prop = jax.random.randint(k2, (B, restarts), 0, K - 1)
+        new = prop + (prop >= old)
+        x_row = jnp.take_along_axis(
+            jnp.broadcast_to(Xl, (B, restarts, Rmax, V)),
+            idx[..., None, None], axis=2)[:, :, 0, :]             # (B,res,V)
+        p_row = (x_row > POS_THR).astype(X.dtype)
+        n_row = (x_row < -POS_THR).astype(X.dtype)
+        d_old = -jax.nn.one_hot(old, K, dtype=X.dtype)
+        d_new = jax.nn.one_hot(new, K, dtype=X.dtype)
+        delta = d_old + d_new                                     # (B,res,K)
+        agg_gain = state["agg_gain"] + delta[..., None] * x_row[..., None, :]
+        agg_pos = state["agg_pos"] + delta[..., None] * p_row[..., None, :]
+        agg_neg = state["agg_neg"] + delta[..., None] * n_row[..., None, :]
+        counts = state["counts"] + delta
+        lk_new = _objective(agg_gain, agg_pos, agg_neg, counts,
+                            size_lk[:, None, :])
+        logu = jnp.log(jax.random.uniform(k3, (B, restarts)) + 1e-30)
+        accept = (lk_new - state["lk"]) > logu
+        acc = accept[..., None]
+        accm = accept[..., None, None]
+        assign = jnp.where(
+            acc, state["assign"].at[
+                jnp.arange(B)[:, None], jnp.arange(restarts)[None, :], idx
+            ].set(new), state["assign"])
+        out = dict(
+            assign=assign,
+            agg_gain=jnp.where(accm, agg_gain, state["agg_gain"]),
+            agg_pos=jnp.where(accm, agg_pos, state["agg_pos"]),
+            agg_neg=jnp.where(accm, agg_neg, state["agg_neg"]),
+            counts=jnp.where(acc, counts, state["counts"]),
+            lk=jnp.where(accept, lk_new, state["lk"]),
+            best_lk=state["best_lk"], best_assign=state["best_assign"])
+        better = out["lk"] > state["best_lk"]
+        out["best_lk"] = jnp.where(better, out["lk"], state["best_lk"])
+        out["best_assign"] = jnp.where(better[..., None], out["assign"],
+                                       state["best_assign"])
+        return out, None
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(steps))
+    # pick the best restart per batch element
+    best_r = jnp.argmax(state["best_lk"], axis=1)
+    best_assign = jnp.take_along_axis(
+        state["best_assign"], best_r[:, None, None], axis=1)[:, 0]
+    best_score = jnp.max(state["best_lk"], axis=1)
+    return best_assign.astype(jnp.int32), best_score
+
+
+def used_columns_and_gains(X: np.ndarray, assign: np.ndarray, k: int):
+    """Host-side get_used_columns + per-(read,cluster) gains
+    (pseudo_mcmc.rs:846-869, :354-379).  X: (R, V)."""
+    R, V = X.shape
+    agg_gain = np.zeros((k, V))
+    agg_pos = np.zeros((k, V))
+    agg_neg = np.zeros((k, V))
+    for r in range(R):
+        a = assign[r]
+        agg_gain[a] += X[r]
+        agg_pos[a] += X[r] > POS_THR
+        agg_neg[a] += X[r] < -POS_THR
+    informative = (agg_gain > 0) & (agg_pos > POS_FRAC * (agg_pos + agg_neg + 1e-7))
+    pos_in_use = np.where(agg_gain > 0, agg_pos, 0).sum(0)
+    pos_in_neg = np.where(agg_gain <= 0, agg_pos, 0).sum(0)
+    used = informative.any(0) & (pos_in_neg * IN_POS_RATIO < pos_in_use)
+    # likelihood gains: read x cluster sums over used columns with positive
+    # cluster gain
+    sel = used[None, :] & (agg_gain > POS_THR)        # (k, V)
+    lk_gain = X @ np.where(sel, 1.0, 0.0).T           # (R, k)
+    return used, lk_gain
