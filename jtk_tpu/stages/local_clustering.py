@@ -1,0 +1,394 @@
+"""Local clustering — per-chunk phasing of read pileups (the algorithmic heart).
+
+Reference: ``haplotyper/src/local_clustering/{mod.rs,pseudo_mcmc.rs}``
+(SURVEY.md §2.3, §3.3).  Per chunk: polish the consensus with the pair-HMM
+(K1/K2), derive per-read variant-gain profiles from the modification table,
+filter variant columns (small-gain compression pseudo_mcmc.rs:141-165,
+end-mask + homopolymer filter :425-505, binomial-tail p-values, strand-bias
+chi^2 :314-339, greedy diversity pick :516-575), then cluster reads with the
+device MCMC (ops/cluster.py) and pick k by the expected-gain acceptance rule
+(:213-274).
+
+TPU-native structure: phase A runs per chunk with device batching over the
+pileup reads (polish + modification tables); phase B batches the MCMC across
+ALL chunks per candidate k as parallel lanes of one scan.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from .. import seq as seqmod
+from ..datamodel import DataSet, ReadType, ops_to_str, ops_from_str
+from ..ops.banded_align import banded_align_batch, linear_offsets, ops_rle, traceback_batch
+from ..ops.cluster import POS_THR, mcmc_cluster_batch, poisson_size_table, used_columns_and_gains
+from ..ops.modtable import NUM_EDIT, modification_table_pileup
+from ..ops.phmm import PHMMParams
+from ..ops.polish import pileup_modification_gains, polish_until_converge
+from .likelihood_gains import Gains, estimate_gains
+from .util import homopolymer_length, logsumexp, update_coverage
+
+logger = logging.getLogger(__name__)
+
+MASK_LENGTH = 7
+MAX_HOMOP_LENGTH = 2
+EXPT_GAIN_FACTOR = 0.8
+PVALUE = 0.05
+ROUND = 3
+
+
+def _difftype_of_edit(e: int) -> str:
+    return "sub" if e < 4 else ("del" if e == 4 else "ins")
+
+
+def gather_pileups(ds: DataSet):
+    """chunk_id -> list of (read_pos_in_ds, node_idx)."""
+    pileups: dict[int, list] = {c.id: [] for c in ds.selected_chunks}
+    for ri, er in enumerate(ds.encoded_reads):
+        for ni, n in enumerate(er.nodes):
+            if n.chunk in pileups:
+                pileups[n.chunk].append((ri, ni))
+    return pileups
+
+
+def _pileup_tables(reads, strands, template, params_f, params_r, W, Tpad,
+                   max_batch=128):
+    """Per-read modification tables with strand-specific HMMs.
+    Returns (lks (R,), profiles (R, (Tpad+1)*NUM_EDIT))."""
+    t_len = len(template)
+    tpl = np.full(Tpad, 4, np.int8)
+    tpl[:t_len] = template
+    R = len(reads)
+    Qpad = ((max(len(r) for r in reads) + 63) // 64) * 64
+    qs = np.full((R, Qpad), 4, np.int8)
+    for i, r in enumerate(reads):
+        qs[i, :len(r)] = r
+    q_lens = np.array([len(r) for r in reads], np.int32)
+    offs = np.stack([linear_offsets(int(l), t_len, Qpad, W) for l in q_lens])
+    lks = np.zeros(R)
+    profs = np.zeros((R, (Tpad + 1) * NUM_EDIT), np.float32)
+    strands = np.asarray(strands, bool)
+    for fwd in (True, False):
+        idx = np.nonzero(strands == fwd)[0]
+        if len(idx) == 0:
+            continue
+        par = params_f if fwd else params_r
+        for s in range(0, len(idx), max_batch):
+            sel = idx[s:s + max_batch]
+            lk, tab = modification_table_pileup(
+                qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
+                par, W, Tpad)
+            lk = np.asarray(lk)
+            tab = np.asarray(tab)
+            lks[sel] = lk
+            g = tab - lk[:, None, None]
+            g = np.where(tab < -1e29, 0.0, g)
+            profs[sel] = g.reshape(len(sel), -1)
+    return lks, profs
+
+
+def filter_variants(template: np.ndarray, profiles: np.ndarray,
+                    strands: np.ndarray, gains: Gains, coverage: float,
+                    copy_num: int):
+    """Column filtering; returns selected column indices (into profiles)."""
+    R = profiles.shape[0]
+    t_len = len(template)
+    ncol = profiles.shape[1]
+    homop = homopolymer_length(template)
+
+    # small-gain compression
+    expected = np.array([gains.expected_of(_difftype_of_edit(e))
+                         for e in range(NUM_EDIT)], np.float32)
+    prof = profiles.reshape(R, -1, NUM_EDIT).copy()
+    prof[np.abs(prof) < 0.5 * expected[None, None, :]] = 0.0
+
+    Trows = prof.shape[1]
+    pos_mask = np.zeros((Trows, NUM_EDIT), bool)
+    valid_j = np.arange(Trows)
+    in_range = (valid_j >= MASK_LENGTH) & (valid_j <= t_len - MASK_LENGTH)
+    pos_mask[:, :] = in_range[:, None]
+    # homopolymer constraints for ins/del
+    hp = np.zeros(Trows, np.int32)
+    hp[:t_len] = homop
+    pos_mask[:, 4] &= hp <= MAX_HOMOP_LENGTH
+    for b in range(4):
+        prev_ok = np.ones(Trows, bool)
+        jj = np.arange(Trows)
+        prev_idx = np.clip(jj - 1, 0, t_len - 1)
+        nxt_idx = np.clip(jj, 0, t_len - 1)
+        tb = np.full(Trows, -1, np.int32)
+        tb[:t_len] = template
+        prev_run = np.where((jj >= 1) & (tb[prev_idx] == b), hp[prev_idx] + 1, 1)
+        nxt_run = np.where(tb[nxt_idx] == b, hp[nxt_idx] + 1, 1)
+        pos_mask[:, 5 + b] &= (prev_run <= MAX_HOMOP_LENGTH + 1) & \
+                              (nxt_run <= MAX_HOMOP_LENGTH + 1)
+
+    pos = prof > POS_THR
+    counts = pos.sum(axis=0)                      # (Trows, NUM_EDIT)
+    tot_gain = np.where(pos, prof, 0.0).sum(axis=0)
+
+    # binomial-tail p-values (precompute per difftype over counts 0..R)
+    pval_tab = {}
+    for dt in ("sub", "del", "ins"):
+        pval_tab[dt] = np.array([gains.pvalue(dt, c, R) for c in range(R + 1)])
+    pvals = np.ones_like(tot_gain)
+    for e in range(NUM_EDIT):
+        pvals[:, e] = pval_tab[_difftype_of_edit(e)][np.clip(counts[:, e], 0, R)]
+    exp_col = expected[None, :] * EXPT_GAIN_FACTOR
+    keep = pos_mask & (counts * exp_col < tot_gain) & \
+        (pvals < PVALUE / max(t_len, 1))
+
+    # strand-bias chi^2 (pseudo_mcmc.rs:314-339): biased columns dropped
+    if strands.any() and (~strands).any():
+        flat = prof.reshape(R, -1)
+        cand = np.nonzero(keep.reshape(-1))[0]
+        for ci in cand:
+            col = flat[:, ci]
+            nz = np.abs(col) > 1e-4
+            if nz.sum() == 0:
+                keep.reshape(-1)[ci] = False
+                continue
+            s = strands[nz].astype(int)
+            p = (col[nz] > 0).astype(int)
+            obs = np.zeros((2, 2))
+            np.add.at(obs, (s, p), 1)
+            strand_count = obs.sum(1)
+            sign_count = obs.sum(0)
+            tot = obs.sum()
+            expd = np.outer(strand_count, sign_count) / tot
+            with np.errstate(divide="ignore", invalid="ignore"):
+                chi = np.nansum((obs - expd) ** 2 / np.where(expd > 0, expd, np.nan))
+            if chi >= 10.0:
+                keep.reshape(-1)[ci] = False
+
+    # score candidates: max-Poisson count LK + total gain (filter_profiles)
+    cand = np.nonzero(keep.reshape(-1))[0]
+    if len(cand) == 0:
+        return np.zeros(0, np.int64)
+    from .util import max_poisson_lk
+    scores = []
+    cflat = counts.reshape(-1)
+    gflat = tot_gain.reshape(-1)
+    for ci in cand:
+        mlk = max_poisson_lk(int(cflat[ci]), coverage, 1, max(copy_num, 1))
+        scores.append(mlk + gflat[ci])
+    scores = np.array(scores)
+    ok = scores > 0
+    cand, scores = cand[ok], scores[ok]
+    if len(cand) == 0:
+        return np.zeros(0, np.int64)
+
+    # greedy diversity pick (pick_filtered_profiles :516-575)
+    flat = prof.reshape(R, -1)
+    sel_state = np.zeros(len(cand), np.int8)  # 0 open, 1 picked, 2 banned, 3 susp
+    for _ in range(ROUND):
+        sel_state[sel_state == 3] = 0
+        for _ in range(max(copy_num, 2)):
+            open_idx = np.nonzero(sel_state == 0)[0]
+            if len(open_idx) == 0:
+                break
+            pick = open_idx[np.argmax(scores[open_idx])]
+            sel_state[pick] = 1
+            pj = cand[pick] // NUM_EDIT
+            pcol = flat[:, cand[pick]]
+            for oi in np.nonzero((sel_state == 0) | (sel_state == 3))[0]:
+                oj = cand[oi] // NUM_EDIT
+                if abs(int(oj) - int(pj)) < MASK_LENGTH:
+                    sel_state[oi] = 2
+                    continue
+                ocol = flat[:, cand[oi]]
+                nz = (np.abs(pcol) > POS_THR) & (np.abs(ocol) > POS_THR)
+                if nz.sum() == 0:
+                    continue
+                a, b = pcol[nz], ocol[nz]
+                cos = abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+                agree = (a * b > 0).mean()
+                sok = max(agree, 1 - agree)
+                if sok > 0.8 or cos > 0.8:
+                    sel_state[oi] = 3
+    return cand[sel_state == 1]
+
+
+def _k_range(copy_num: int, n_variants: int):
+    """pseudo_mcmc.rs:236-241."""
+    end = min(copy_num, 1 + 2 * n_variants)
+    start = max(end, 5) - 3
+    return list(range(max(start, 2), end + 1))
+
+
+def cluster_chunks_mcmc(features: dict, coverage: float, seed: int,
+                        restarts: int = 20, flips_per_read: int = 2000,
+                        max_steps: int = 100_000):
+    """Phase B: batch the MCMC across chunks per k.
+
+    features: chunk_id -> dict(X (R,V), copy_num, local_cov).
+    Returns chunk_id -> (assign, posterior (R,k), score, k).
+    """
+    import jax
+
+    # k selection state per chunk
+    state = {cid: dict(assign=np.zeros(f["X"].shape[0], np.int64),
+                       max=0.0, max_k=1,
+                       read_gain=np.zeros(f["X"].shape[0]),
+                       used=np.zeros(f["X"].shape[1], bool),
+                       alive=True)
+             for cid, f in features.items()}
+    kranges = {cid: _k_range(f["copy_num"], f["X"].shape[1])
+               for cid, f in features.items()}
+    max_k = max((kr[-1] for kr in kranges.values() if kr), default=1)
+    for ki, k in enumerate(range(2, max_k + 1)):
+        todo = [cid for cid, kr in kranges.items()
+                if k in kr and state[cid]["alive"]]
+        todo = [cid for cid in todo
+                if features[cid]["X"].shape[0] > features[cid]["copy_num"]]
+        if not todo:
+            continue
+        Rmax = max(features[cid]["X"].shape[0] for cid in todo)
+        Vmax = max(features[cid]["X"].shape[1] for cid in todo)
+        Rmax = ((Rmax + 7) // 8) * 8
+        Vmax = max(((Vmax + 7) // 8) * 8, 8)
+        B = len(todo)
+        X = np.zeros((B, Rmax, Vmax), np.float32)
+        Rs = np.zeros(B, np.int32)
+        size_lk = np.zeros((B, Rmax + 1), np.float32)
+        for b, cid in enumerate(todo):
+            f = features[cid]
+            r, v = f["X"].shape
+            X[b, :r, :v] = f["X"]
+            Rs[b] = r
+            size_lk[b] = poisson_size_table(Rmax, coverage, k)
+        steps = int(min(flips_per_read * Rmax, max_steps))
+        assign, score = mcmc_cluster_batch(
+            X, Rs, size_lk, jax.random.PRNGKey(seed + 977 * k), k, steps,
+            restarts)
+        assign = np.asarray(assign)
+        score = np.asarray(score)
+        for b, cid in enumerate(todo):
+            f = features[cid]
+            st = state[cid]
+            r = f["X"].shape[0]
+            asn = assign[b, :r].astype(np.int64)
+            sc = float(score[b])
+            if k == 2:
+                # also try the single-best-column split (use_highest_gain)
+                hg_asn, hg_sc = _use_highest_gain(f["X"])
+                if hg_sc > sc:
+                    asn, sc = hg_asn, hg_sc
+            used, lk_gain = used_columns_and_gains(f["X"], asn, k)
+            # expected-gain acceptance (pseudo_mcmc.rs:275-301)
+            newly = used & ~st["used"]
+            no_new = bool((used == st["used"]).all())
+            exp_gain = 0.0
+            if no_new:
+                exp_gain = max((features[cid]["expected"][v]
+                                for v in np.nonzero(used)[0]), default=0.0)
+            elif newly.any():
+                exp_gain = max(features[cid]["expected"][v]
+                               for v in np.nonzero(newly)[0])
+            thr = max(EXPT_GAIN_FACTOR * exp_gain, 0.1) * f["local_cov"] + 0.1
+            if sc - st["max"] > thr:
+                st.update(assign=asn, max=sc, max_k=k, used=used)
+            else:
+                st["alive"] = False
+    results = {}
+    for cid, st in state.items():
+        f = features[cid]
+        k = st["max_k"]
+        _, lk_gain = used_columns_and_gains(f["X"], st["assign"], k)
+        # post-tune: move reads to their argmax cluster (pseudo_mcmc.rs:98-104)
+        asn = st["assign"].copy()
+        am = lk_gain.argmax(1)
+        better = lk_gain[np.arange(len(asn)), am] > \
+            lk_gain[np.arange(len(asn)), asn] + 0.001
+        asn[better] = am[better]
+        post = lk_gain - logsumexp(lk_gain, axis=1)[:, None]
+        results[cid] = (asn, post, st["max"], k)
+    return results
+
+
+def _use_highest_gain(X: np.ndarray):
+    """pseudo_mcmc.rs:673-693: split on the single best column."""
+    gains = np.where(X > 0, X, 0.0).sum(0)
+    if gains.max() <= 0:
+        return np.zeros(X.shape[0], np.int64), 0.0
+    c = int(np.argmax(gains))
+    asn = (X[:, c] > 0).astype(np.int64)
+    _, lk_gain = used_columns_and_gains(X, asn, 2)
+    sc = float(lk_gain[np.arange(len(asn)), asn].sum())
+    return asn, sc
+
+
+def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
+                     polish_cap: int = 60, restarts: int = 20,
+                     flips_per_read: int = 2000,
+                     selection: set | None = None) -> DataSet:
+    coverage = update_coverage(ds)
+    params_f = PHMMParams.from_hmmparam(ds.model_param.forward)
+    params_r = PHMMParams.from_hmmparam(ds.model_param.reverse)
+    gains = estimate_gains(params_f, ds.error_rate, seed=seed)
+    pileups = gather_pileups(ds)
+    chunks = {c.id: c for c in ds.selected_chunks}
+    features = {}
+    rng = np.random.default_rng(seed)
+    for cid, members in pileups.items():
+        if selection is not None and cid not in selection:
+            continue
+        chunk = chunks[cid]
+        if not members:
+            chunk.cluster_num = 1
+            continue
+        t0 = time.time()
+        reads = [seqmod.encode(ds.encoded_reads[ri].nodes[ni].seq)
+                 for ri, ni in members]
+        strands = np.array([ds.encoded_reads[ri].nodes[ni].is_forward
+                            for ri, ni in members])
+        band = W or max(ReadType.band_width(ds.read_type, len(chunk.seq)), 64)
+        band = ((band + 63) // 64) * 64
+        # 1. polish consensus (coverage-capped)
+        sel = rng.permutation(len(reads))[:polish_cap]
+        template, _ = polish_until_converge(
+            chunk.codes(), [reads[i] for i in sel], params_f, W=band)
+        chunk.seq = seqmod.decode(template).decode()
+        t_polish = time.time() - t0
+        # 2. per-read profiles
+        Tpad = ((len(template) + 127) // 128) * 128
+        lks, profs = _pileup_tables(reads, strands, template, params_f,
+                                    params_r, band, Tpad)
+        # 3. variant columns
+        cols = filter_variants(template, profs, strands, gains, coverage,
+                               chunk.copy_num)
+        if chunk.copy_num < 2 or len(cols) == 0 or \
+                len(reads) <= chunk.copy_num:
+            chunk.cluster_num = 1
+            chunk.score = 0.0
+            for (ri, ni) in members:
+                node = ds.encoded_reads[ri].nodes[ni]
+                node.cluster = 0
+                node.posterior = [0.0]
+            continue
+        X = profs[:, cols].astype(np.float32)
+        expected_per_col = np.array(
+            [gains.expected_of(_difftype_of_edit(int(c % NUM_EDIT)))
+             for c in cols])
+        features[cid] = dict(X=X, copy_num=chunk.copy_num,
+                             local_cov=len(reads) / max(chunk.copy_num, 1),
+                             expected=expected_per_col, members=members)
+        logger.debug("RECORD\t%d\t%.0f\t%.0f\t%d\t%d\t%d", cid,
+                     (time.time() - t0) * 1e3, t_polish * 1e3,
+                     len(template), len(cols), len(reads))
+    results = cluster_chunks_mcmc(features, coverage, seed,
+                                  restarts=restarts,
+                                  flips_per_read=flips_per_read)
+    for cid, (asn, post, score, k) in results.items():
+        chunk = chunks[cid]
+        chunk.cluster_num = int(max(k, 1))
+        chunk.score = float(score)
+        for (ri, ni), a, p in zip(features[cid]["members"], asn, post):
+            node = ds.encoded_reads[ri].nodes[ni]
+            node.cluster = int(a)
+            node.posterior = [float(x) for x in p]
+    ds.push_stage("LocalClustering", [f"seed={seed}"])
+    return ds
