@@ -1,0 +1,45 @@
+"""GFA emission (reference: the ban-m/gfa crate + assemble/mod.rs:119-253).
+
+Emits GFA 1.0: H header, S segments with LN/cv (coverage) / cp (copy number)
+tags, and L links between contig ends, matching the reference's cv:i / cp:i
+tag convention.
+"""
+
+from __future__ import annotations
+
+
+def contigs_to_gfa(contigs, links=None, name_prefix: str = "tig") -> str:
+    """contigs: list of dicts with 'seq' and 'summary'
+    [(chunk, cluster, fwd, occ, copy)].  links: list of
+    (i, end_i ('+'/'-'), j, end_j)."""
+    lines = ["H\tVN:Z:1.0"]
+    for i, c in enumerate(contigs):
+        summary = c.get("summary", [])
+        occ = int(sum(s[3] for s in summary) / max(len(summary), 1)) if summary else 0
+        cp = int(round(sum(s[4] for s in summary) / max(len(summary), 1))) if summary else 0
+        lines.append(
+            f"S\t{name_prefix}_{i:04d}\t{c['seq']}\tLN:i:{len(c['seq'])}"
+            f"\tcv:i:{occ}\tcp:i:{cp}")
+    for (i, oi, j, oj, occ) in links or []:
+        lines.append(f"L\t{name_prefix}_{i:04d}\t{oi}\t{name_prefix}_{j:04d}"
+                     f"\t{oj}\t0M\tcv:i:{occ}")
+    return "\n".join(lines) + "\n"
+
+
+def parse_gfa(text: str):
+    """Minimal GFA reader: returns (segments {name: seq, tags}, links)."""
+    segs, links = {}, []
+    for line in text.splitlines():
+        f = line.rstrip("\n").split("\t")
+        if not f:
+            continue
+        if f[0] == "S":
+            tags = {}
+            for t in f[3:]:
+                parts = t.split(":", 2)
+                if len(parts) == 3:
+                    tags[parts[0]] = parts[2]
+            segs[f[1]] = {"seq": f[2], "tags": tags}
+        elif f[0] == "L":
+            links.append((f[1], f[2], f[3], f[4]))
+    return segs, links

@@ -1,0 +1,91 @@
+"""Assemble stage: encoded reads -> ditch graph -> cleaned graph -> GFA.
+
+Reference: ``haplotyper/src/assemble/mod.rs:119-253`` — build DitchGraph,
+remove light edges, ``clean_up_graph_for_assemble`` (copy-number assignment,
+tip/zero-copy removal, repeat resolution), ``spell`` to GFA with cv:i/cp:i
+tags, optional consensus polishing.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..datamodel import DataSet, ReadType
+from ..graph.copy_number import assign_copy_numbers
+from ..graph.ditch_graph import HEAD, TAIL, DitchGraph
+from ..io.gfa import contigs_to_gfa
+from .util import update_coverage
+
+logger = logging.getLogger(__name__)
+
+
+def build_graph(ds: DataSet, lightweight_frac: float = 0.15) -> DitchGraph:
+    chunk_seqs = {c.id: c.seq for c in ds.selected_chunks}
+    g = DitchGraph.from_encoded_reads(ds.encoded_reads, chunk_seqs)
+    cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
+    thr = max(1, int(lightweight_frac * cov))
+    g.remove_lightweight_edges(thr)
+    return g
+
+
+def clean_up_graph_for_assemble(g: DitchGraph, cov: float) -> None:
+    """assemble/mod.rs via ditch_graph/mod.rs:645-701 (round-1 subset:
+    copy-number assignment, zero-copy removal, tips; repeat resolution by foci
+    comes with the quality loop)."""
+    assign_copy_numbers(g, cov)
+    g.remove_zero_copy_elements()
+    g.remove_tips()
+    assign_copy_numbers(g, cov)
+
+
+def contig_links(g: DitchGraph, contigs):
+    """L-lines: edges remaining between contig end nodes."""
+    ends = {}
+    for i, c in enumerate(contigs):
+        path = c["path"]
+        first, first_exit = path[0]
+        last, last_exit = path[-1]
+        # entry plug of the first node = opposite of its exit plug
+        ends.setdefault((first, TAIL if first_exit == HEAD else HEAD), []).append((i, "-"))
+        ends.setdefault((last, last_exit), []).append((i, "+"))
+    links = []
+    seen = set()
+    for e in g.edges.values():
+        a = ends.get((e.from_node, e.from_plug))
+        b = ends.get((e.to_node, e.to_plug))
+        if not a or not b:
+            continue
+        for (i, oi) in a:
+            for (j, oj) in b:
+                # '-' on the from side means the link attaches to the contig
+                # start: in GFA terms the from-contig is traversed '-'
+                key = (i, oi, j, oj)
+                if key in seen or (j, oj, i, oi) in seen:
+                    continue
+                if (i, oi) == (j, oj):
+                    continue
+                seen.add(key)
+                links.append((i, "+" if oi == "+" else "-", j,
+                              "-" if oj == "+" else "+", e.occ))
+    return links
+
+
+def assemble(ds: DataSet, out_path: str | None = None,
+             lightweight_frac: float = 0.15) -> str:
+    cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
+    g = build_graph(ds, lightweight_frac)
+    clean_up_graph_for_assemble(g, cov)
+    g.sanity_check()
+    raw = g.spell_with_paths()
+    contigs = [c for c in raw if len(c["seq"]) > 0]
+    links = contig_links(g, contigs)
+    gfa = contigs_to_gfa(contigs, links)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(gfa)
+    logger.info("assemble: %d contigs, %d links, graph=%s",
+                len(contigs), len(links), g.stats())
+    ds.push_stage("Assemble", [])
+    return gfa
