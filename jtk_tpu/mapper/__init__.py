@@ -21,9 +21,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .. import seq as seqmod
-from ..ops.banded_align import (
-    banded_align_batch, diagonal_offsets, ops_rle, traceback_batch,
-)
+from ..ops.banded_align import align_with_cigar_batch, diagonal_offsets
 
 
 def pack_kmers(codes: np.ndarray, k: int):
@@ -165,11 +163,11 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     results = []
     for s in range(0, len(cands), batch):
         chunk_batch = cands[s:s + batch]
-        B = len(chunk_batch)
+        B = batch  # fixed batch size: one compilation per shape bucket
         qs = np.full((B, Qpad), 4, np.int8)
         rs = np.full((B, Tpad), 4, np.int8)
-        q_lens = np.zeros(B, np.int32)
-        t_lens = np.zeros(B, np.int32)
+        q_lens = np.ones(B, np.int32)
+        t_lens = np.ones(B, np.int32)
         offs = np.zeros((B, Qpad + 1), np.int32)
         wstarts = np.zeros(B, np.int64)
         for b, c in enumerate(chunk_batch):
@@ -188,15 +186,13 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
             diag = c.window_start + margin - a
             offs[b] = diagonal_offsets(len(cseq), diag, len(win), Qpad, W)
             wstarts[b] = a
-        res = banded_align_batch(qs, rs, offs, q_lens, t_lens, W, "infix")
-        ops_list, ref_starts = traceback_batch(res["ptrs"], offs, q_lens,
-                                               res["end_j"], "infix")
+        res = align_with_cigar_batch(qs, rs, offs, q_lens, t_lens, W, "infix")
         for b, c in enumerate(chunk_batch):
             results.append({
                 "cand": c,
                 "dist": int(res["score"][b]),
-                "ops": ops_rle(ops_list[b]),
-                "span_start": int(wstarts[b] + ref_starts[b]),
+                "ops": res["cigar"][b],
+                "span_start": int(wstarts[b] + res["start_j"][b]),
                 "span_end": int(wstarts[b] + res["end_j"][b]),
             })
     return results

@@ -24,18 +24,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INF = jnp.int32(2 ** 30)
+INF = np.int32(2 ** 30)
 DIAG, UP, LEFT = np.uint8(0), np.uint8(1), np.uint8(2)
 
 
 def linear_offsets(q_len: int, t_len: int, Q: int, W: int) -> np.ndarray:
     """Band start per query row for a global alignment: the band follows the
-    straight line from (0,0) to (q_len, t_len)."""
-    i = np.arange(Q + 1, dtype=np.float64)
+    straight line from (0,0) to (q_len, t_len).
+
+    Increments are forced into {0, 1} so kernels can use static shifts
+    instead of general gathers (requires W//2 >= t_len - q_len when
+    t_len > q_len; asserted)."""
+    assert t_len - q_len < W - 1, \
+        f"band W={W} too narrow for global q={q_len} t={t_len}"
+    i = np.arange(Q + 1, dtype=np.int64)
     center = np.round(i * (t_len / max(q_len, 1))).astype(np.int64)
+    center[q_len:] = t_len
     hi = max(t_len - W + 1, 0)
     off = np.clip(center - W // 2, 0, hi)
+    # enforce non-decreasing with unit steps
+    off = np.maximum.accumulate(off)
+    off = np.minimum.accumulate(off - i) + i
+    # reachability of (q_len, t_len): slope-1 lower-bound line
+    line = (t_len - W + 1) - (q_len - i)
+    off = np.maximum(off, np.clip(line, 0, None))
+    off = np.clip(off, 0, hi)
     off[q_len:] = off[q_len]
+    assert off[q_len] <= t_len <= off[q_len] + W - 1
     return off.astype(np.int32)
 
 
@@ -49,15 +64,33 @@ def diagonal_offsets(q_len: int, diag: int, t_len: int, Q: int, W: int) -> np.nd
     return off.astype(np.int32)
 
 
+def _shl(v, fill):
+    """v[k] -> v[k+1] (shift band left; index k reads old k+1)."""
+    return jnp.concatenate([v[1:], np.full((1,), fill, v.dtype)])
+
+
+def _shr(v, fill):
+    """v[k] -> v[k-1]."""
+    return jnp.concatenate([np.full((1,), fill, v.dtype), v[:-1]])
+
+
 @functools.partial(jax.jit, static_argnames=("W", "mode"))
 def _banded_edit(q, r, offsets, q_len, t_len, W: int, mode: str):
     """Single-pair banded edit DP.
 
-    q: (Q,) int8; r: (T,) int8; offsets: (Q+1,) int32; q_len, t_len: scalars.
+    q: (Q,) int8; r: (T,) int8; offsets: (Q+1,) int32 with unit increments
+    (off[i+1]-off[i] in {0,1}); q_len, t_len: scalars.
     Returns (score, end_j, ptrs (Q+1, W) uint8, last_row (W,) int32).
+
+    Band shifts are selects between static slices (no gathers); the ref window
+    per row is a contiguous dynamic_slice — both lower to fast vector code on
+    TPU.  The within-row ref-gap chain is a min-plus prefix scan.
     """
     Q = q.shape[0]
-    ks = jnp.arange(W, dtype=jnp.int32)
+    ks = np.arange(W, dtype=np.int32)
+    # ref padded: one sentinel in front (for j-1 = -1) + W+1 behind
+    r_pad = jnp.concatenate([np.full((1,), 4, np.int8), r,
+                             np.full((W + 1,), 4, np.int8)])
 
     # row 0
     j0 = offsets[0] + ks
@@ -67,35 +100,40 @@ def _banded_edit(q, r, offsets, q_len, t_len, W: int, mode: str):
         row0 = jnp.where(j0 <= t_len, 0, INF)
 
     def step(prev, inp):
-        qc, off_prev, off_cur, i = inp
-        s = off_cur - off_prev
-        idx_up = ks + s
-        idx_diag = ks + s - 1
-        up_ok = (idx_up >= 0) & (idx_up < W)
-        dg_ok = (idx_diag >= 0) & (idx_diag < W)
-        up = jnp.where(up_ok, prev[jnp.clip(idx_up, 0, W - 1)], INF) + 1
-        ref_idx = off_cur + ks - 1  # j-1 for cell k
-        rc = r[jnp.clip(ref_idx, 0, r.shape[0] - 1)]
+        qc, off_cur, s, i = inp
+        shifted = jnp.where(s == 1, _shl(prev, INF), prev)
+        up = shifted + 1                       # E[i-1][j] + 1
+        diag_v = jnp.where(s == 1, prev, _shr(prev, INF))  # E[i-1][j-1]
+        # rc[k] = r[j-1] = r_pad[off_cur + k] (front sentinel absorbs -1)
+        rc = jax.lax.dynamic_slice(r_pad, (off_cur,), (W,))
         sub = jnp.where(rc == qc, 0, 1).astype(jnp.int32)
-        dg_ok = dg_ok & (ref_idx >= 0) & (ref_idx < t_len)
-        diag = jnp.where(dg_ok, prev[jnp.clip(idx_diag, 0, W - 1)], INF) + sub
-        cand = jnp.minimum(diag, up)
+        diag = diag_v + sub
         j = off_cur + ks
-        cand = jnp.where(j <= t_len, cand, INF)
+        ok = j <= t_len
+        diag = jnp.where(ok & (j >= 1), diag, INF)
+        up = jnp.where(ok, up, INF)
+        cand = jnp.minimum(diag, up)
         # min-plus prefix scan: e[k] = min_{k'<=k} cand[k'] + (k - k')
         m = jax.lax.associative_scan(jnp.minimum, cand - ks)
         e = jnp.minimum(cand, m + ks)
-        e = jnp.where(j <= t_len, jnp.minimum(e, INF), INF)
-        ptr = jnp.where(e == diag, DIAG, jnp.where(e == up, UP, LEFT)).astype(jnp.uint8)
+        e = jnp.where(ok, e, INF)
+        ptr = jnp.where(e == diag, DIAG,
+                        jnp.where(e == up, UP, LEFT)).astype(jnp.uint8)
+        # run length of consecutive LEFT pointers ending at k (for device
+        # traceback): L[k] = isleft[k] * (L[k-1] + 1)
+        isleft = (ptr == LEFT).astype(jnp.float32)
+        Lrow = _linrec_runs(isleft)
         # rows past q_len: freeze (propagate prev) so last-row gather is easy
         live = i <= q_len
         e = jnp.where(live, e, prev)
-        return e, (e, ptr)
+        return e, (ptr, Lrow.astype(jnp.uint8))
 
-    ii = jnp.arange(1, Q + 1, dtype=jnp.int32)
-    inputs = (q, offsets[:-1], offsets[1:], ii)
-    last, (rows, ptrs) = jax.lax.scan(step, row0, inputs)
-    ptrs = jnp.concatenate([jnp.zeros((1, W), jnp.uint8), ptrs], axis=0)
+    ii = np.arange(1, Q + 1, dtype=np.int32)
+    shifts = offsets[1:] - offsets[:-1]
+    inputs = (q, offsets[1:], shifts, ii)
+    last, (ptrs, Ls) = jax.lax.scan(step, row0, inputs)
+    ptrs = jnp.concatenate([np.zeros((1, W), np.uint8), ptrs], axis=0)
+    Ls = jnp.concatenate([np.zeros((1, W), np.uint8), Ls], axis=0)
 
     if mode == "global":
         k_end = t_len - offsets[q_len]
@@ -105,13 +143,153 @@ def _banded_edit(q, r, offsets, q_len, t_len, W: int, mode: str):
         k_end = jnp.argmin(last)
         score = last[k_end]
         end_j = offsets[q_len] + k_end
-    return score, end_j, ptrs, last
+    return score, end_j, ptrs, last, Ls
 
 
-_banded_edit_batch = jax.jit(
-    jax.vmap(_banded_edit, in_axes=(0, 0, 0, 0, 0, None, None)),
-    static_argnames=("W", "mode"),
-)
+def _linrec_runs(isleft):
+    """Run length of consecutive 1s ending at each position (f32)."""
+    def comb(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+    _, r = jax.lax.associative_scan(comb, (isleft, isleft), axis=-1)
+    return r
+
+
+def _traceback_on_device(ptrs, Ls, offsets, q_len, end_j, W: int):
+    """Walk the path on device: one scan step per query row.
+
+    Returns (dels (Q,), ops (Q,), start_j) where step t describes query char
+    q_len - t: first ``dels[t]`` ref-deletions, then op (1=M, 2=I); 0 rows are
+    padding (t >= q_len).  start_j = ref position where the path stops at
+    row 0 (infix start; for global the caller emits start_j leading D's).
+    """
+    Qp1 = ptrs.shape[0]
+    Q = Qp1 - 1
+    flatP = ptrs.reshape(-1)
+    flatL = Ls.reshape(-1)
+
+    def step(carry, t):
+        i, j = carry
+        live = i > 0
+        k = jnp.clip(j - offsets[jnp.clip(i, 0, Q)], 0, W - 1)
+        base = jnp.clip(i, 0, Q) * W
+        l = flatL[base + k].astype(jnp.int32)
+        k2 = jnp.clip(k - l, 0, W - 1)
+        p = flatP[base + k2]
+        is_diag = p == DIAG
+        op = jnp.where(is_diag, 1, 2).astype(jnp.uint8)
+        dj = jnp.where(is_diag, 1, 0)
+        i_n = jnp.where(live, i - 1, i)
+        j_n = jnp.where(live, j - l - dj, j)
+        out_l = jnp.where(live, l, 0).astype(jnp.uint8)
+        out_op = jnp.where(live, op, 0).astype(jnp.uint8)
+        return (i_n, j_n), (out_l, out_op)
+
+    (i_f, j_f), (dels, ops) = jax.lax.scan(
+        step, (q_len.astype(jnp.int32), end_j.astype(jnp.int32)),
+        np.arange(Q, dtype=np.int32))
+    return dels, ops, j_f
+
+
+@functools.partial(jax.jit, static_argnames=("W", "mode"))
+def _banded_align_cigar_batch(qs, rs, offsets, q_lens, t_lens, W: int,
+                              mode: str):
+    def one(q, r, off, ql, tl):
+        score, end_j, ptrs, _, Ls = _banded_edit(q, r, off, ql, tl, W, mode)
+        dels, ops, start_j = _traceback_on_device(ptrs, Ls, off, ql, end_j, W)
+        return score, end_j, start_j, dels, ops
+
+    score, end_j, start_j, dels, ops = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+        qs, rs, offsets, q_lens, t_lens)
+    # ops are 0/1/2; pack is_ins (op==2) into bits: 8x smaller transfer
+    B, Q = ops.shape
+    Qp = (Q + 7) // 8 * 8
+    bits = jnp.pad((ops == 2).astype(jnp.uint8), ((0, 0), (0, Qp - Q)))
+    bits = bits.reshape(B, Qp // 8, 8)
+    weights = np.array([1, 2, 4, 8, 16, 32, 64, 128], np.uint8)
+    ops_packed = jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+    return score, end_j, start_j, dels, ops_packed
+
+
+_KM = {1: "M", 2: "I", 3: "D"}
+
+
+def _expand_cigar(is_ins_fwd, dels_fwd, lead_d):
+    """Vectorized run-building: forward-order per-row (op, D-run) -> cigar."""
+    n = len(is_ins_fwd)
+    kinds = np.empty(2 * n + 1, np.uint8)
+    lens = np.empty(2 * n + 1, np.int64)
+    kinds[0] = 3
+    lens[0] = lead_d
+    kinds[1::2] = np.where(is_ins_fwd, 2, 1)
+    lens[1::2] = 1
+    kinds[2::2] = 3
+    lens[2::2] = dels_fwd
+    keep = lens > 0
+    kinds, lens = kinds[keep], lens[keep]
+    if len(kinds) == 0:
+        return []
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(kinds)) + 1])
+    sums = np.add.reduceat(lens, starts)
+    return [(_KM[int(k)], int(l)) for k, l in zip(kinds[starts], sums)]
+
+
+def align_with_cigar_batch(qs, rs, offsets, q_lens, t_lens, W: int,
+                           mode: str = "global"):
+    """Batched alignment with device-side traceback: ~1.1 bytes/query-row
+    cross the host link.  Returns (scores, spans, cigars) with cigars as
+    [(kind, len)] lists (query = qs rows)."""
+    score, end_j, start_j, dels, ops_packed = _banded_align_cigar_batch(
+        jnp.asarray(qs), jnp.asarray(rs), jnp.asarray(offsets),
+        jnp.asarray(q_lens, jnp.int32), jnp.asarray(t_lens, jnp.int32),
+        W, mode)
+    score = np.asarray(score)
+    end_j = np.asarray(end_j)
+    start_j = np.asarray(start_j)
+    dels = np.asarray(dels)
+    Q = qs.shape[1]
+    is_ins = np.unpackbits(np.asarray(ops_packed), axis=1,
+                           bitorder="little")[:, :Q].astype(bool)
+    B = len(score)
+    cigars = []
+    for b in range(B):
+        ql = int(q_lens[b])
+        lead = int(start_j[b]) if mode == "global" else 0
+        # step t covers query char ql-1-t; forward order = reversed rows
+        cigars.append(_expand_cigar(is_ins[b, :ql][::-1],
+                                    dels[b, :ql][::-1], lead))
+    # for global alignments the leading deletion run is part of the cigar,
+    # so the alignment's ref start is 0 (matches traceback_batch semantics)
+    if mode == "global":
+        start_j = np.zeros_like(start_j)
+    return {
+        "score": score,
+        "end_j": end_j,
+        "start_j": start_j,
+        "cigar": cigars,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("W", "mode"))
+def _banded_edit_batch(qs, rs, offsets, q_lens, t_lens, W: int, mode: str):
+    score, end_j, ptrs, last, _ = jax.vmap(
+        _banded_edit, in_axes=(0, 0, 0, 0, 0, None, None))(
+        qs, rs, offsets, q_lens, t_lens, W, mode)
+    # pack 4 x 2-bit pointers per byte: 4x smaller host transfer
+    B, Qp1, _ = ptrs.shape
+    p4 = ptrs.reshape(B, Qp1, W // 4, 4).astype(jnp.uint8)
+    packed = (p4[..., 0] | (p4[..., 1] << 2) | (p4[..., 2] << 4)
+              | (p4[..., 3] << 6))
+    return score, end_j, packed, last
+
+
+def unpack_ptrs(packed: np.ndarray) -> np.ndarray:
+    """(.., W//4) packed bytes -> (.., W) uint8 pointers."""
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 4,), np.uint8)
+    for t in range(4):
+        out[..., t::4] = (packed >> (2 * t)) & 3
+    return out
 
 
 def banded_align_batch(qs, rs, offsets, q_lens, t_lens, W: int, mode: str = "global"):
@@ -120,13 +298,13 @@ def banded_align_batch(qs, rs, offsets, q_lens, t_lens, W: int, mode: str = "glo
     qs (B, Q) int8, rs (B, T) int8, offsets (B, Q+1) int32.
     Returns dict with scores (B,), end_j (B,), ptrs (B, Q+1, W).
     """
-    score, end_j, ptrs, _ = _banded_edit_batch(
+    score, end_j, packed, _ = _banded_edit_batch(
         jnp.asarray(qs), jnp.asarray(rs), jnp.asarray(offsets),
         jnp.asarray(q_lens, jnp.int32), jnp.asarray(t_lens, jnp.int32), W, mode)
     return {
         "score": np.asarray(score),
         "end_j": np.asarray(end_j),
-        "ptrs": np.asarray(ptrs),
+        "ptrs": unpack_ptrs(np.asarray(packed)),
     }
 
 

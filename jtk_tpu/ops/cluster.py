@@ -81,7 +81,7 @@ def _kmeanspp_init(X, w, key, K, lloyd_iters=10):
         centers, key = state
         key, sub = jax.random.split(key)
         d2 = jnp.min(
-            jnp.where(jnp.arange(K)[:, None] < j,
+            jnp.where(np.arange(K)[:, None] < j,
                       jnp.sum((X[None] - centers[:, None]) ** 2, -1), jnp.inf),
             axis=0)
         logits = jnp.where(w > 0, jnp.log(d2 + 1e-9), -jnp.inf)
@@ -114,7 +114,7 @@ def mcmc_cluster_batch(X, R_actual, size_lk, key, K: int, steps: int,
     Returns (best_assign (B, Rmax) int32, best_score (B,) f32).
     """
     B, Rmax, V = X.shape
-    w = (jnp.arange(Rmax)[None, :] < R_actual[:, None]).astype(X.dtype)  # (B,R)
+    w = (np.arange(Rmax)[None, :] < R_actual[:, None]).astype(X.dtype)  # (B,R)
 
     lane_keys = jax.random.split(key, B * restarts).reshape(B, restarts, 2)
     init = jax.vmap(lambda Xb, wb, keys: jax.vmap(
@@ -161,7 +161,7 @@ def mcmc_cluster_batch(X, R_actual, size_lk, key, K: int, steps: int,
         accm = accept[..., None, None]
         assign = jnp.where(
             acc, state["assign"].at[
-                jnp.arange(B)[:, None], jnp.arange(restarts)[None, :], idx
+                np.arange(B)[:, None], np.arange(restarts)[None, :], idx
             ].set(new), state["assign"])
         out = dict(
             assign=assign,
@@ -177,7 +177,7 @@ def mcmc_cluster_batch(X, R_actual, size_lk, key, K: int, steps: int,
                                        state["best_assign"])
         return out, None
 
-    state, _ = jax.lax.scan(step, state, jnp.arange(steps))
+    state, _ = jax.lax.scan(step, state, np.arange(steps))
     # pick the best restart per batch element
     best_r = jnp.argmax(state["best_lk"], axis=1)
     best_assign = jnp.take_along_axis(

@@ -43,13 +43,26 @@ from .phmm import EPS, PHMMParams, _emit_pad, backward_banded, forward_banded
 NUM_EDIT = 9  # 4 sub + 1 del + 4 ins
 
 
-def _row_shift(tab, shift_per_row, W):
-    """tab[i, k] -> tab[i, k + shift_per_row[i]] with 0 fill."""
-    ks = jnp.arange(W, dtype=jnp.int32)
-    idx = ks[None, :] + shift_per_row[:, None]
-    ok = (idx >= 0) & (idx < W)
-    g = jnp.take_along_axis(tab, jnp.clip(idx, 0, W - 1), axis=1)
-    return jnp.where(ok, g, 0.0)
+def _shl2(tab, fill=0.0):
+    """index k reads old k+1 along axis 1 (static shift)."""
+    col = np.full((tab.shape[0], 1), fill, tab.dtype)  # numpy: no device const
+    return jnp.concatenate([tab[:, 1:], col], axis=1)
+
+
+def _shr2(tab, fill=0.0):
+    """index k reads old k-1 along axis 1 (static shift)."""
+    col = np.full((tab.shape[0], 1), fill, tab.dtype)
+    return jnp.concatenate([col, tab[:, :-1]], axis=1)
+
+
+def _row_shift_unit(tab, one_col, minus: bool):
+    """tab[i, k] -> tab[i, k + s_i - (1 if minus else 0)] for s_i in {0,1}.
+
+    one_col: (Q+1, 1) bool (s_i == 1).  minus=True gives index k+s-1,
+    minus=False gives k+s."""
+    if minus:
+        return jnp.where(one_col, tab, _shr2(tab))
+    return jnp.where(one_col, _shl2(tab), tab)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Tpad"))
@@ -60,7 +73,8 @@ def modification_table(q, r, offsets, q_len, t_len, params: PHMMParams,
     (>= t_len for sub/del, > t_len for ins) hold -inf-ish values."""
     Q = q.shape[0]
     T = r.shape[0]
-    lk, (fM, fI, fD), fcum = forward_banded(q, r, offsets, q_len, t_len, params, W)
+    lk, (fM, fI, fD), fcum, rcs = forward_banded(q, r, offsets, q_len, t_len,
+                                                 params, W)
     (bM, bI, bD), bcum = backward_banded(q, r, offsets, q_len, t_len, params, W)
 
     t = params.trans
@@ -69,33 +83,34 @@ def modification_table(q, r, offsets, q_len, t_len, params: PHMMParams,
     tdm, tdi, tdd = t[2, 0], t[2, 1], t[2, 2]
     me, _ = _emit_pad(params)
 
-    ks = jnp.arange(W, dtype=jnp.int32)
-    rows = jnp.arange(Q + 1, dtype=jnp.int32)
+    ks = np.arange(W, dtype=np.int32)
+    rows = np.arange(Q + 1, dtype=np.int32)
     jc = offsets[:, None] + ks[None, :]          # (Q+1, W) column index
     live_row = (rows <= q_len)[:, None]
 
     # previous-row tables aligned to current rows: value at (i,k) is
-    # f*(i-1, jc-1) and f*(i-1, jc).
-    s = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets[1:] - offsets[:-1]])
-    zrow = jnp.zeros((1, W))
+    # f*(i-1, jc-1) and f*(i-1, jc).  s_i in {0,1} -> selects of static shifts.
+    s = jnp.concatenate([np.zeros(1, np.int32), offsets[1:] - offsets[:-1]])
+    one_col = (s == 1)[:, None]
+    zrow = np.zeros((1, W), np.float32)
     fMp = jnp.concatenate([zrow, fM[:-1]], 0)
     fIp = jnp.concatenate([zrow, fI[:-1]], 0)
     fDp = jnp.concatenate([zrow, fD[:-1]], 0)
     # (i-1, jc-1): row i-1 band index of (jc-1) is k + s_i - 1
-    fMd = _row_shift(fMp, s - 1, W)
-    fId = _row_shift(fIp, s - 1, W)
-    fDd = _row_shift(fDp, s - 1, W)
+    fMd = _row_shift_unit(fMp, one_col, True)
+    fId = _row_shift_unit(fIp, one_col, True)
+    fDd = _row_shift_unit(fDp, one_col, True)
     # (i-1, jc): index k + s_i
-    fMu = _row_shift(fMp, s, W)
-    fIu = _row_shift(fIp, s, W)
-    fDu = _row_shift(fDp, s, W)
+    fMu = _row_shift_unit(fMp, one_col, False)
+    fIu = _row_shift_unit(fIp, one_col, False)
+    fDu = _row_shift_unit(fDp, one_col, False)
     # same-row previous column (i, jc-1): index k-1
-    fMl = _row_shift(fM, jnp.full(Q + 1, -1, jnp.int32), W)
-    fIl = _row_shift(fI, jnp.full(Q + 1, -1, jnp.int32), W)
-    fDl = _row_shift(fD, jnp.full(Q + 1, -1, jnp.int32), W)
+    fMl = _shr2(fM)
+    fIl = _shr2(fI)
+    fDl = _shr2(fD)
     # backward next column (i, jc+1): index k+1
-    bMn = _row_shift(bM, jnp.full(Q + 1, +1, jnp.int32), W)
-    bDn = _row_shift(bD, jnp.full(Q + 1, +1, jnp.int32), W)
+    bMn = _shl2(bM)
+    bDn = _shl2(bD)
 
     A = tmm * fMd + tim * fId + tdm * fDd          # arrive in M at column jc
     Anext = tmm * fMu + tim * fIu + tdm * fDu      # arrive in M at inserted col
@@ -104,16 +119,19 @@ def modification_table(q, r, offsets, q_len, t_len, params: PHMMParams,
 
     # row-scale corrections (f*b products): A-terms use fcum[i-1]+bcum[i],
     # fD/Dnext-terms use fcum[i]+bcum[i].  All are ~lk, so shift by lk.
-    fcum_p = jnp.concatenate([jnp.array([-jnp.inf]), fcum[:-1]])
+    fcum_p = jnp.concatenate([np.array([-np.inf], np.float32), fcum[:-1]])
     cA = jnp.exp(jnp.clip(fcum_p + bcum - lk, -80.0, 80.0))[:, None]
     cB = jnp.exp(jnp.clip(fcum + bcum - lk, -80.0, 80.0))[:, None]
     cA = jnp.where(live_row, cA, 0.0)
     cB = jnp.where(live_row, cB, 0.0)
 
-    # per-row query emission row: me[b, q[i-1]] for b=0..3 -> (Q+1, 4)
-    qprev_char = jnp.concatenate([jnp.array([4], jnp.int8), q])  # q[i-1] at row i
-    em_q = me[:4, :][:, qprev_char].T                            # (Q+1, 4)
-    em_q = em_q * (rows >= 1)[:, None]
+    # per-row query emission row: me[b, q[i-1]] for b=0..4 -> (Q+1, 5)
+    qprev_char = jnp.concatenate([np.array([4], np.int8), q])  # q[i-1] at row i
+    qp_oh = (qprev_char[:, None] ==
+             np.arange(5, dtype=qprev_char.dtype)).astype(jnp.float32)
+    em_q5 = qp_oh @ me.T                                         # (Q+1, 5)
+    em_q5 = em_q5 * (rows >= 1)[:, None]
+    em_q = em_q5[:, :4]
 
     valid = (jc >= 0) & (jc <= t_len)
     seg = jnp.where(valid, jc, Tpad + 1).astype(jnp.int32).reshape(-1)
@@ -133,15 +151,18 @@ def modification_table(q, r, offsets, q_len, t_len, params: PHMMParams,
     # sub table at position j corresponds to jc = j+1 -> shift by one
     sub_tab = jnp.stack(sub_cols, axis=1) + sub_base[:, None]      # (Tpad+1, 4) by jc
     sub_tab = sub_tab[1:, :]                                       # index by j
-    sub_tab = jnp.concatenate([sub_tab, jnp.zeros((1, 4))], axis=0)
+    sub_tab = jnp.concatenate([sub_tab, np.zeros((1, 4), np.float32)], axis=0)
 
     # --- deletion of t[j] (jc = j+1 < T): uses next column's b tables ---
-    rc_next = r[jnp.clip(jc, 0, T - 1)]         # r[jc] = char of column jc+1
-    em_next = me[rc_next, qprev_char[:, None]]  # (Q+1, W)
+    # rc_next[i,k] = r[jc] = r[off_i + k] = rcs[i, k+1] (edge fill 4 -> em 0)
+    rc_next = _shl2(rcs, fill=4)
+    rc_oh = (rc_next[..., None] ==
+             np.arange(5, dtype=rc_next.dtype)).astype(jnp.float32)
+    em_next = jnp.einsum("ikb,ib->ik", rc_oh, em_q5)  # me[rc_next, q[i-1]]
     del_term = em_next * A * bMn * cA + Dnew * bDn * cB
     del_col = colsum(del_term)                  # by jc
     del_tab = del_col[1:]
-    del_tab = jnp.concatenate([del_tab, jnp.zeros((1,))])
+    del_tab = jnp.concatenate([del_tab, np.zeros((1,), np.float32)])
     # deleting the LAST char (jc == t_len): LK = f-sum at (q_len, t_len-1)
     k_last = jnp.clip(t_len - 1 - offsets[q_len], 0, W - 1)
     f_last = (fM[q_len, k_last] + fI[q_len, k_last] + fD[q_len, k_last])
@@ -160,11 +181,11 @@ def modification_table(q, r, offsets, q_len, t_len, params: PHMMParams,
     table = jnp.concatenate([sub_tab, del_tab[:, None], ins_tab], axis=1)
     ltable = jnp.log(jnp.maximum(table, EPS)) + lk
     ltable = ltable.at[:, 4].set(
-        jnp.where(jnp.arange(Tpad + 1) == t_len - 1, lk_del_last, ltable[:, 4]))
+        jnp.where(np.arange(Tpad + 1) == t_len - 1, lk_del_last, ltable[:, 4]))
 
     # mask invalid positions
-    pos = jnp.arange(Tpad + 1)
-    neg = jnp.float32(-1e30)
+    pos = np.arange(Tpad + 1)
+    neg = np.float32(-1e30)
     sub_ok = pos[:, None] < t_len
     ins_ok = pos[:, None] <= t_len
     mask = jnp.concatenate(

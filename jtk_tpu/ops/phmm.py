@@ -10,11 +10,17 @@ TPU-native design:
     dimension.  Probability space with per-row rescaling (no per-cell log/exp),
     log scale factors accumulated on the side — the standard production
     pair-HMM trick; f32 throughout.
+  * Band offsets have unit increments (off[i+1]-off[i] in {0,1}), so band
+    realignment is a select between static shifts — no gathers; the ref window
+    per row is a contiguous ``dynamic_slice``; emission lookups are one-hot
+    matmuls against the tiny emission tables (VPU-friendly, gather-free).
   * The within-row Del-state dependency ``D[j] = c[j] + t_dd * D[j-1]`` is a
     first-order linear recurrence solved by ``lax.associative_scan`` (O(log W)
     depth per row), forward and (flipped) backward.
   * Static shapes: sequences padded, lengths traced, rows past ``q_len``
     frozen so the final row is the carry.
+  * All compile-time constants are NumPy (a jnp constant would be embedded by
+    fetching it back from the device — ruinous over a remote TPU link).
 
 Parameter layout mirrors ``definitions/src/lib.rs:95-125``: transitions 3x3,
 ``mat_emit[ref, query]`` (4,4), ``ins_emit[prev_query_or_start, query]`` (5,4).
@@ -39,13 +45,13 @@ class PHMMParams(NamedTuple):
 
     @classmethod
     def from_hmmparam(cls, hp) -> "PHMMParams":
-        t = jnp.array(
+        t = np.array(
             [[hp.mat_mat, hp.mat_ins, hp.mat_del],
              [hp.ins_mat, hp.ins_ins, hp.ins_del],
-             [hp.del_mat, hp.del_ins, hp.del_del]], dtype=jnp.float32)
-        me = jnp.array(hp.mat_emit, dtype=jnp.float32).reshape(4, 4)
-        ie = jnp.array(hp.ins_emit, dtype=jnp.float32).reshape(5, 4)
-        return cls(t, me, ie)
+             [hp.del_mat, hp.del_ins, hp.del_del]], dtype=np.float32)
+        me = np.array(hp.mat_emit, dtype=np.float32).reshape(4, 4)
+        ie = np.array(hp.ins_emit, dtype=np.float32).reshape(5, 4)
+        return cls(jnp.asarray(t), jnp.asarray(me), jnp.asarray(ie))
 
     @classmethod
     def default(cls) -> "PHMMParams":
@@ -55,9 +61,8 @@ class PHMMParams(NamedTuple):
 
 def _emit_pad(p: PHMMParams):
     """Emission tables padded so code 4 (N/pad) is a safe index (prob 0)."""
-    me = jnp.zeros((5, 5), jnp.float32).at[:4, :4].set(p.mat_emit)
-    ie = jnp.zeros((5, 5), jnp.float32).at[:, :4].set(
-        jnp.concatenate([p.ins_emit, jnp.zeros((0, 4))], axis=0))
+    me = jnp.pad(p.mat_emit, ((0, 1), (0, 1)))
+    ie = jnp.pad(p.ins_emit, ((0, 0), (0, 1)))
     return me, ie
 
 
@@ -77,59 +82,78 @@ def _linrec_rev(c, a):
     return jnp.flip(_linrec(jnp.flip(c, -1), a), -1)
 
 
-def _shift(v, idx, W):
-    ok = (idx >= 0) & (idx < W)
-    return jnp.where(ok, v[jnp.clip(idx, 0, W - 1)], 0.0)
+def _shl(v):
+    """index k reads old k+1; 0 fill."""
+    z = np.zeros((1,), np.float32)
+    return jnp.concatenate([v[1:], z.astype(v.dtype)])
+
+
+def _shr(v):
+    """index k reads old k-1; 0 fill."""
+    z = np.zeros((1,), np.float32)
+    return jnp.concatenate([z.astype(v.dtype), v[:-1]])
+
+
+def _onehot5(codes):
+    """(W,) int codes -> (W, 5) f32 one-hot (compare against numpy iota)."""
+    return (codes[..., None] == np.arange(5, dtype=codes.dtype)).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
 def forward_banded(q, r, offsets, q_len, t_len, params: PHMMParams, W: int):
     """Banded forward pass.
 
-    Returns (lk, (Ms, Is, Ds), fcum) where the tables are (Q+1, W) row-scaled
-    and ``fcum`` (Q+1,) are cumulative log scales; true f(i,j) =
-    table[i, j-off[i]] * exp(fcum[i]).  ``lk`` = total log-likelihood
-    Pr(q | r) ending at (q_len, t_len) in any state.
+    offsets must have unit increments (linear_offsets guarantees this).
+    Returns (lk, (Ms, Is, Ds), fcum, rcs) where tables are (Q+1, W) row-scaled,
+    ``fcum`` (Q+1,) cumulative log scales (true f(i,j) =
+    table[i, j-off[i]] * exp(fcum[i])), and ``rcs[i, k]`` = r[off[i]+k-1]
+    (code 4 out of range).  ``lk`` = log Pr(q | r) ending at (q_len, t_len).
     """
     Q = q.shape[0]
-    T = r.shape[0]
-    ks = jnp.arange(W, dtype=jnp.int32)
+    ks = np.arange(W, dtype=np.int32)
     me, ie = _emit_pad(params)
     t = params.trans
     tmm, tmi, tmd = t[0, 0], t[0, 1], t[0, 2]
     tim, tii, tid = t[1, 0], t[1, 1], t[1, 2]
     tdm, tdi, tdd = t[2, 0], t[2, 1], t[2, 2]
+    # r_pad[off + k] == r[off + k - 1]
+    r_pad = jnp.concatenate([np.full((1,), 4, np.int8), r,
+                             np.full((W + 1,), 4, np.int8)])
 
     # row 0: start in M at (0,0); D chain along the row.
     j0 = offsets[0] + ks
     M0 = jnp.where(j0 == 0, 1.0, 0.0)
-    I0 = jnp.zeros(W)
-    c0 = tmd * _shift(M0, ks - 1, W)
+    I0 = jnp.zeros_like(M0)
+    c0 = tmd * _shr(M0)
     D0 = _linrec(c0, tdd)
     D0 = jnp.where((j0 >= 1) & (j0 <= t_len), D0, 0.0)
     s0 = jnp.sum(M0 + I0 + D0) + EPS
     M0, I0, D0 = M0 / s0, I0 / s0, D0 / s0
     ls0 = jnp.log(s0)
+    rc0 = jax.lax.dynamic_slice(r_pad, (offsets[0],), (W,))
 
     def step(carry, inp):
         Mp, Ip, Dp = carry
-        qc, qprev, off_prev, off_cur, i = inp
-        s = off_cur - off_prev
-        Md = _shift(Mp, ks + s - 1, W)
-        Id = _shift(Ip, ks + s - 1, W)
-        Dd = _shift(Dp, ks + s - 1, W)
-        Mu = _shift(Mp, ks + s, W)
-        Iu = _shift(Ip, ks + s, W)
-        Du = _shift(Dp, ks + s, W)
+        qc, qprev, off_cur, s, i = inp
+        one = s == 1
+        # diag: prev index k+s-1 (s=1 -> k, s=0 -> k-1)
+        Md = jnp.where(one, Mp, _shr(Mp))
+        Id = jnp.where(one, Ip, _shr(Ip))
+        Dd = jnp.where(one, Dp, _shr(Dp))
+        # up: prev index k+s (s=1 -> k+1, s=0 -> k)
+        Mu = jnp.where(one, _shl(Mp), Mp)
+        Iu = jnp.where(one, _shl(Ip), Ip)
+        Du = jnp.where(one, _shl(Dp), Dp)
         j = off_cur + ks
-        rc = r[jnp.clip(j - 1, 0, T - 1)]
-        em = me[rc, qc]
+        rc = jax.lax.dynamic_slice(r_pad, (off_cur,), (W,))  # r[j-1]
+        me_col = me[:, qc]                                   # (5,) tiny gather
+        em = _onehot5(rc) @ me_col
         em = jnp.where((j >= 1) & (j <= t_len), em, 0.0)
         Mrow = em * (tmm * Md + tim * Id + tdm * Dd)
-        ei = ie[qprev, qc]
+        ei = ie[qprev, qc]                                   # scalar
         Irow = ei * (tmi * Mu + tii * Iu + tdi * Du)
         Irow = jnp.where(j <= t_len, Irow, 0.0)
-        c = tmd * _shift(Mrow, ks - 1, W) + tid * _shift(Irow, ks - 1, W)
+        c = tmd * _shr(Mrow) + tid * _shr(Irow)
         Drow = _linrec(c, tdd)
         Drow = jnp.where((j >= 1) & (j <= t_len), Drow, 0.0)
         sc = jnp.sum(Mrow + Irow + Drow) + EPS
@@ -140,21 +164,23 @@ def forward_banded(q, r, offsets, q_len, t_len, params: PHMMParams, W: int):
         Irow = jnp.where(live, Irow, Ip)
         Drow = jnp.where(live, Drow, Dp)
         ls = jnp.where(live, ls, 0.0)
-        return (Mrow, Irow, Drow), (Mrow, Irow, Drow, ls)
+        return (Mrow, Irow, Drow), (Mrow, Irow, Drow, ls, rc)
 
-    ii = jnp.arange(1, Q + 1, dtype=jnp.int32)
-    qprev = jnp.concatenate([jnp.array([4], jnp.int8), q[:-1]])
-    (Mf, If, Df), (Ms, Is, Ds, lss) = jax.lax.scan(
-        step, (M0, I0, D0), (q, qprev, offsets[:-1], offsets[1:], ii))
+    ii = np.arange(1, Q + 1, dtype=np.int32)
+    qprev = jnp.concatenate([np.array([4], np.int8), q[:-1]])
+    shifts = offsets[1:] - offsets[:-1]
+    (Mf, If, Df), (Ms, Is, Ds, lss, rcs) = jax.lax.scan(
+        step, (M0, I0, D0), (q, qprev, offsets[1:], shifts, ii))
     Ms = jnp.concatenate([M0[None], Ms], 0)
     Is = jnp.concatenate([I0[None], Is], 0)
     Ds = jnp.concatenate([D0[None], Ds], 0)
     lss = jnp.concatenate([ls0[None], lss], 0)
+    rcs = jnp.concatenate([rc0[None], rcs], 0)
     fcum = jnp.cumsum(lss)
     k_end = jnp.clip(t_len - offsets[q_len], 0, W - 1)
     fin = Mf[k_end] + If[k_end] + Df[k_end]
     lk = jnp.log(fin + EPS) + fcum[q_len]
-    return lk, (Ms, Is, Ds), fcum
+    return lk, (Ms, Is, Ds), fcum, rcs
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
@@ -165,22 +191,21 @@ def backward_banded(q, r, offsets, q_len, t_len, params: PHMMParams, W: int):
     exp(bcum[i]); b(i,j,s) = Pr(q[i+1..], t[j+1..] | state s at (i,j)).
     """
     Q = q.shape[0]
-    T = r.shape[0]
-    ks = jnp.arange(W, dtype=jnp.int32)
+    ks = np.arange(W, dtype=np.int32)
     me, ie = _emit_pad(params)
     t = params.trans
     tmm, tmi, tmd = t[0, 0], t[0, 1], t[0, 2]
     tim, tii, tid = t[1, 0], t[1, 1], t[1, 2]
     tdm, tdi, tdd = t[2, 0], t[2, 1], t[2, 2]
+    # r_pad2[off + k] == r[off + k]  (char of column j+1)
+    r_pad2 = jnp.concatenate([r, np.full((W + 1,), 4, np.int8)])
 
-    # init: row q_len (no query left).  bD chain: bD[Q,j] = tdd*bD[Q,j+1],
-    # bD[Q,t_len]=1; bM/bI via one D step; all states 1 at j == t_len.
+    # init: row q_len (no query left).
     offQ = offsets[q_len]
     jQ = offQ + ks
     cQ = jnp.where(jQ == t_len, 1.0, 0.0)
-    # y[k] = c[k] + tdd*y[k+1]  gives bD with bD[t_len] = 1 (since c there =1)
     bD_init = _linrec_rev(cQ, tdd)
-    bD_next = _shift(bD_init, ks + 1, W)  # bD[Q, j+1]
+    bD_next = _shl(bD_init)
     bM_init = jnp.where(jQ == t_len, 1.0, tmd * bD_next)
     bI_init = jnp.where(jQ == t_len, 1.0, tid * bD_next)
     valid = jQ <= t_len
@@ -192,21 +217,23 @@ def backward_banded(q, r, offsets, q_len, t_len, params: PHMMParams, W: int):
     lsI = jnp.log(sI)
 
     def step(carry, inp):
-        bM1, bI1, bD1 = carry  # row i+1 (band offset off[i+1])
-        qc_next, qprev_next, off_cur, off_next, i = inp
-        s = off_next - off_cur
+        bM1, bI1, bD1 = carry  # row i+1 (band offset off[i+1] = off[i]+s)
+        qc_next, qprev_next, off_cur, s, i = inp
+        one = s == 1
         j = off_cur + ks
-        # u[k] = em(i+1, j+1) * bM[i+1, j+1]; row i+1 index of j+1 is k+1-s
-        rc = r[jnp.clip(j, 0, T - 1)]  # t[j+1-1] = r[j]
-        em = me[rc, qc_next]
+        # u[k] = em(i+1, j+1) * bM[i+1, j+1]; row i+1 index k+1-s
+        rc = jax.lax.dynamic_slice(r_pad2, (off_cur,), (W,))  # r[j]
+        me_col = me[:, qc_next]
+        em = _onehot5(rc) @ me_col
         em = jnp.where(j + 1 <= t_len, em, 0.0)
-        u = em * _shift(bM1, ks + 1 - s, W)
+        bM1_at = jnp.where(one, bM1, _shl(bM1))   # k+1-s
+        bI1_at = jnp.where(one, _shr(bI1), bI1)   # k-s
+        u = em * bM1_at
         ei = ie[qprev_next, qc_next]
-        v = ei * _shift(bI1, ks - s, W)
+        v = ei * bI1_at
         c = tdm * u + tdi * v
         bDrow = _linrec_rev(c, tdd)
-        # note: the rev linrec handles bD[i,j] = c[j] + tdd*bD[i,j+1]
-        w = _shift(bDrow, ks + 1, W)
+        w = _shl(bDrow)
         bMrow = tmm * u + tmi * v + tmd * w
         bIrow = tim * u + tii * v + tid * w
         ok = j <= t_len
@@ -223,17 +250,15 @@ def backward_banded(q, r, offsets, q_len, t_len, params: PHMMParams, W: int):
         ls = jnp.where(live, ls, 0.0)
         return (bMrow, bIrow, bDrow), (bMrow, bIrow, bDrow, ls)
 
-    ii = jnp.arange(Q - 1, -1, -1, dtype=jnp.int32)  # row index i
-    qc_next = jnp.flip(q)            # q[i] is the char consumed into row i+1
-    qprev = jnp.concatenate([jnp.array([4], jnp.int8), q[:-1]])
+    ii = np.arange(Q - 1, -1, -1, dtype=np.int32)
+    qc_next = jnp.flip(q)
+    qprev = jnp.concatenate([np.array([4], np.int8), q[:-1]])
     qprev_next = jnp.flip(qprev)
     off_cur = jnp.flip(offsets[:-1])
-    off_next = jnp.flip(offsets[1:])
+    shifts = jnp.flip(offsets[1:] - offsets[:-1])
     (_, _, _), (bMs, bIs, bDs, lss) = jax.lax.scan(
         step, (bM_init, bI_init, bD_init),
-        (qc_next, qprev_next, off_cur, off_next, ii))
-    # outputs are rows Q-1..0; flip to 0..Q-1 and append the init row, then
-    # overwrite row q_len with the init (rows > q_len are frozen copies).
+        (qc_next, qprev_next, off_cur, shifts, ii))
     bMs = jnp.flip(bMs, 0)
     bIs = jnp.flip(bIs, 0)
     bDs = jnp.flip(bDs, 0)
@@ -241,20 +266,17 @@ def backward_banded(q, r, offsets, q_len, t_len, params: PHMMParams, W: int):
     bMs = jnp.concatenate([bMs, bM_init[None]], 0)
     bIs = jnp.concatenate([bIs, bI_init[None]], 0)
     bDs = jnp.concatenate([bDs, bD_init[None]], 0)
-    lss = jnp.concatenate([lss, jnp.zeros((1,))], 0)
+    lss = jnp.concatenate([lss, np.zeros((1,), np.float32)], 0)
     bMs = bMs.at[q_len].set(bM_init)
     bIs = bIs.at[q_len].set(bI_init)
     bDs = bDs.at[q_len].set(bD_init)
-    # bcum[i] = total log scale applied to row i = lsI + sum of scales of rows i..Q-1
-    # rows processed: row i gets scales of steps for rows i..q_len-1 plus init.
-    lss = lss.at[jnp.clip(q_len, 0, Q)].set(lsI)  # fold init scale in at q_len
-    rev = jnp.flip(jnp.cumsum(jnp.flip(lss)))
-    bcum = rev
+    lss = lss.at[jnp.clip(q_len, 0, Q)].set(lsI)
+    bcum = jnp.flip(jnp.cumsum(jnp.flip(lss)))
     return (bMs, bIs, bDs), bcum
 
 
 def likelihood(q, r, offsets, q_len, t_len, params: PHMMParams, W: int):
-    lk, _, _ = forward_banded(q, r, offsets, q_len, t_len, params, W)
+    lk, _, _, _ = forward_banded(q, r, offsets, q_len, t_len, params, W)
     return lk
 
 

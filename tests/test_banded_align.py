@@ -100,10 +100,44 @@ def test_batch_variable_lengths():
                      int(ref_starts[b]), int(res["end_j"][b]))
 
 
+def test_device_traceback_matches_host():
+    from jtk_tpu.ops.banded_align import align_with_cigar_batch
+    rng = np.random.default_rng(5)
+    for mode, W in (("global", 128), ("infix", 128)):
+        qs, rs_arr, offs, qls, tls, pairs = [], [], [], [], [], []
+        Q, T = 200, 320
+        for _ in range(5):
+            r = rng.integers(0, 4, size=T).astype(np.int8)
+            if mode == "global":
+                q = _mutate(rng, r[:180], 0.1)
+                off = linear_offsets(len(q), 180, Q, W)
+                tl = 180
+            else:
+                start = int(rng.integers(0, 80))
+                q = _mutate(rng, r[start:start + 150], 0.1)
+                off = diagonal_offsets(len(q), start, T, Q, W)
+                tl = T
+            qp = np.full(Q, 4, np.int8); qp[:len(q)] = q
+            rp = np.full(T, 4, np.int8); rp[:tl] = r[:tl]
+            qs.append(qp); rs_arr.append(rp); offs.append(off)
+            qls.append(len(q)); tls.append(tl); pairs.append((q, r[:tl]))
+        res = align_with_cigar_batch(np.stack(qs), np.stack(rs_arr),
+                                     np.stack(offs), np.array(qls),
+                                     np.array(tls), W, mode)
+        for b, (q, r) in enumerate(pairs):
+            _check_cigar(q, r, res["cigar"][b], int(res["score"][b]),
+                         int(res["start_j"][b]), int(res["end_j"][b]))
+            oscore, _, _, _ = oracle.edit_dp(q, r, mode)
+            assert int(res["score"][b]) == oscore, (mode, b)
+
+
 def test_band_offsets_shapes():
-    off = linear_offsets(100, 200, 120, 64)
-    assert off.shape == (121,)
+    off = linear_offsets(100, 120, 140, 64)
+    assert off.shape == (141,)
     assert off[0] == 0
-    assert (np.diff(off) >= 0).all()
+    d = np.diff(off)
+    assert ((d == 0) | (d == 1)).all()
+    assert off[100] <= 120 <= off[100] + 63
     off2 = diagonal_offsets(100, 50, 400, 120, 64)
-    assert (np.diff(off2) >= 0).all()
+    d2 = np.diff(off2)
+    assert ((d2 == 0) | (d2 == 1)).all()

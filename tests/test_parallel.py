@@ -1,0 +1,42 @@
+"""Sharding tests: run the multichip dry run on a virtual 8-device CPU mesh.
+
+Spawned as a subprocess because xla_force_host_platform_device_count must be
+set before jax initializes (and slows first-lowering in the main process).
+"""
+
+import os
+import subprocess
+import sys
+
+
+def test_dryrun_multichip_8dev():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
+        " --xla_force_host_platform_device_count=8"
+    code = (
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         cwd=os.path.dirname(os.path.dirname(__file__)),
+                         capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "ok" in res.stdout
+
+
+def test_entry_compiles():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax, __graft_entry__ as g\n"
+        "fn, args = g.entry()\n"
+        "out = jax.jit(fn)(*args)\n"
+        "jax.block_until_ready(out)\n"
+        "assert out.shape == (8,)\n"
+        "print('entry ok')\n"
+    )
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         cwd=os.path.dirname(os.path.dirname(__file__)),
+                         capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "entry ok" in res.stdout

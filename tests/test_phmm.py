@@ -36,7 +36,7 @@ def _mutate(rng, seq, err):
 def _run_fwd(q, r, W=64):
     params = PHMMParams.from_hmmparam(PAR)
     off = linear_offsets(len(q), len(r), len(q), W)
-    lk, tabs, fcum = forward_banded(
+    lk, tabs, fcum, _ = forward_banded(
         np.asarray(q, np.int8), np.asarray(r, np.int8), off,
         np.int32(len(q)), np.int32(len(r)), params, W)
     return float(lk), tabs, fcum, off
@@ -72,7 +72,7 @@ def test_forward_backward_column_identity():
     Q, T = len(q), len(r)
     params = PHMMParams.from_hmmparam(PAR)
     off = linear_offsets(Q, T, Q, W)
-    lk, (Ms, Is, Ds), fcum = forward_banded(
+    lk, (Ms, Is, Ds), fcum, _ = forward_banded(
         q, r, off, np.int32(Q), np.int32(T), params, W)
     (bMs, bIs, bDs), bcum = backward_banded(
         q, r, off, np.int32(Q), np.int32(T), params, W)
