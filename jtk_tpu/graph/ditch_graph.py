@@ -299,13 +299,18 @@ class DitchGraph:
     def _path_to_contig(self, path):
         parts = []
         summary = []
-        prev_exit = None
+        tiles = []  # per-node contig coordinate spans (ContigEncoding
+        #             counterpart, sequence_generation.rs:261-459)
+        pos = 0
         for i, (node, exit_plug) in enumerate(path):
             dn = self.nodes[node]
             fwd = exit_plug == TAIL  # entered at HEAD -> forward orientation
             seq = dn.seq if fwd else _rc(dn.seq)
             if i == 0:
                 parts.append(seq)
+                tiles.append({"node": node, "fwd": fwd, "start": pos,
+                              "end": pos + len(seq)})
+                pos += len(seq)
             else:
                 # find connecting edge between prev node and this one
                 prev_node, prev_plug = path[i - 1]
@@ -323,13 +328,24 @@ class DitchGraph:
                     if (e.from_node, e.from_plug) != (prev_node, prev_plug):
                         label = _rc(label)
                 if off >= 0:
-                    parts.append(label if label else "")
+                    if label:
+                        parts.append(label)
+                        pos += len(label)
                     parts.append(seq)
+                    tiles.append({"node": node, "fwd": fwd, "start": pos,
+                                  "end": pos + len(seq)})
+                    pos += len(seq)
                 else:
-                    parts.append(seq[-off:])
+                    trimmed = seq[-off:]
+                    parts.append(trimmed)
+                    tiles.append({"node": node, "fwd": fwd,
+                                  "start": pos + off,
+                                  "end": pos + len(trimmed)})
+                    pos += len(trimmed)
             summary.append((node[0], node[1], fwd, dn.occ,
                             dn.copy_num if dn.copy_num is not None else 1))
-        return {"seq": "".join(parts), "summary": summary, "path": path}
+        return {"seq": "".join(parts), "summary": summary, "path": path,
+                "tiles": tiles}
 
     def spell_with_paths(self):
         """spell() keeping the raw (node, exit_plug) paths for link emission."""

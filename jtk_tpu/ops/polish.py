@@ -25,6 +25,13 @@ def _pad_to(x, n, fill):
     return out
 
 
+def effective_band(W: int, q_lens, t_len: int) -> int:
+    """Widen the band so unit-step offsets can reach (q_len, t_len) even for
+    reads shorter than the template (rounded to 64 to bucket compilations)."""
+    deficit = max(0, int(t_len) - int(np.min(q_lens)))
+    return max(W, ((W // 2 + deficit + 63) // 64) * 64)
+
+
 def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
                               params: PHMMParams, W: int, Tpad: int,
                               max_batch: int = 256):
@@ -40,6 +47,7 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
     Qpad = ((Qpad + 63) // 64) * 64
     qs = np.stack([_pad_to(r, Qpad, 4) for r in reads])
     q_lens = np.array([len(r) for r in reads], np.int32)
+    W = effective_band(W, q_lens, t_len)
     offs = np.stack([linear_offsets(int(l), t_len, Qpad, W) for l in q_lens])
     lks = np.zeros(R, np.float64)
     total = np.zeros((Tpad + 1, NUM_EDIT), np.float64)

@@ -73,13 +73,20 @@ def contig_links(g: DitchGraph, contigs):
 
 
 def assemble(ds: DataSet, out_path: str | None = None,
-             lightweight_frac: float = 0.15) -> str:
+             lightweight_frac: float = 0.15, to_polish: bool = True,
+             window_size: int = 2000, seed: int = 42) -> str:
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     g = build_graph(ds, lightweight_frac)
     clean_up_graph_for_assemble(g, cov)
     g.sanity_check()
     raw = g.spell_with_paths()
     contigs = [c for c in raw if len(c["seq"]) > 0]
+    if to_polish and contigs:
+        from .consensus import polish_contigs
+        window = min(window_size, max(
+            int(np.median([len(r.seq) for r in ds.raw_reads]) // 2), 500)) \
+            if ds.raw_reads else window_size
+        polish_contigs(ds, contigs, window=window, seed=seed)
     links = contig_links(g, contigs)
     gfa = contigs_to_gfa(contigs, links)
     if out_path:

@@ -1,0 +1,221 @@
+"""Contig consensus polishing — windowed pair-HMM polish of spelled contigs.
+
+Reference: ``haplotyper/src/assemble/consensus/mod.rs`` — re-map every read to
+the contigs *in chunk space* by chaining node matches against the contig's
+tile encoding (enumerate_chain :734-845), extend to bp alignments through the
+tiles (:1056-1520), then polish in 2 kbp windows with the trained pair-HMM,
+re-stitching between rounds (:270-561).
+
+TPU-native structure: chunk-space anchors come free from the assembly tiles
+(graph spell records them); read segments per window are cut by linear
+interpolation between anchors; every window pileup is polished by the K1/K2
+device kernels.  Windows overlap and are stitched by aligning neighbouring
+polished windows in their overlap (removing boundary artifacts without the
+reference's iterative re-alignment rounds).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from .. import seq as seqmod
+from ..datamodel import DataSet, ReadType
+from ..ops.banded_align import edit_align
+from ..ops.phmm import PHMMParams
+from ..ops.polish import polish_until_converge
+
+logger = logging.getLogger(__name__)
+
+
+def _read_anchors(ds: DataSet, contigs):
+    """Per contig: list of (read_idx, sign, [(read_pos, read_end, cstart, cend)])
+    coarse alignments from node<->tile matches, chained monotonically."""
+    tile_ix = {}
+    for ci, c in enumerate(contigs):
+        for t in c.get("tiles", []):
+            tile_ix.setdefault(t["node"], []).append((ci, t))
+    per_contig = {ci: [] for ci in range(len(contigs))}
+    for ri, er in enumerate(ds.encoded_reads):
+        cands = {}
+        for n in er.nodes:
+            key = (n.chunk, n.cluster)
+            for ci, t in tile_ix.get(key, []):
+                sign = 1 if (n.is_forward == t["fwd"]) else -1
+                rs = n.position_from_start
+                re_ = rs + n.query_length()
+                cands.setdefault((ci, sign), []).append(
+                    (rs, re_, t["start"], t["end"]))
+        for (ci, sign), anchors in cands.items():
+            anchors.sort()
+            # longest monotone chain in contig coords
+            chain = []
+            for a in anchors:
+                if not chain:
+                    chain.append(a)
+                    continue
+                if sign > 0 and a[2] >= chain[-1][2]:
+                    chain.append(a)
+                elif sign < 0 and a[2] <= chain[-1][2]:
+                    chain.append(a)
+            if len(chain) >= 1:
+                per_contig[ci].append((ri, sign, chain))
+    return per_contig
+
+
+def _window_segment(read_codes, sign, chain, w0, w1, margin):
+    """Approximate read segment covering contig window [w0, w1)."""
+    # anchor arrays in contig coords
+    cs = np.array([a[2] for a in chain], float)
+    ce = np.array([a[3] for a in chain], float)
+    rs = np.array([a[0] for a in chain], float)
+    re_ = np.array([a[1] for a in chain], float)
+
+    def to_read(cpos):
+        # find nearest anchor; linear interpolation within it, extrapolate
+        # between anchors by matching proportional position
+        if sign > 0:
+            idx = np.clip(np.searchsorted(cs, cpos) - 1, 0, len(cs) - 1)
+            frac = (cpos - cs[idx]) / max(ce[idx] - cs[idx], 1)
+            return rs[idx] + frac * (re_[idx] - rs[idx])
+        else:
+            idx = np.clip(np.searchsorted(-ce[::-1], -cpos) - 1, 0,
+                          len(cs) - 1)
+            idx = len(cs) - 1 - idx
+            frac = (ce[idx] - cpos) / max(ce[idx] - cs[idx], 1)
+            return rs[idx] + frac * (re_[idx] - rs[idx])
+
+    lo = int(min(to_read(w0), to_read(w1)))
+    hi = int(max(to_read(w0), to_read(w1)))
+    lo = max(lo - margin, 0)
+    hi = min(hi + margin, len(read_codes))
+    if hi - lo < (w1 - w0) // 3:
+        return None
+    seg = read_codes[lo:hi]
+    if sign < 0:
+        seg = seqmod.revcomp(seg)
+    return seg
+
+
+def _stitch(a: np.ndarray, b: np.ndarray, ov: int) -> np.ndarray:
+    """Join two polished windows that overlap by ~ov bp: locate b's head
+    inside a's tail by infix alignment and cut there."""
+    if len(a) == 0:
+        return b
+    if len(b) == 0:
+        return a
+    head = b[:min(ov, len(b))]
+    tail = a[-min(2 * ov, len(a)):]
+    if len(head) < 8 or len(tail) < 16:
+        return np.concatenate([a, b[min(ov, len(b)):]])
+    try:
+        # head is expected to start ~ov before a's end
+        diag = max(len(tail) - ov, 0)
+        _, _cigar, rs, _re = edit_align(head, tail, W=128, mode="infix",
+                                        diag=diag)
+    except AssertionError:
+        return np.concatenate([a, b[min(ov, len(b)):]])
+    cut_a = len(a) - len(tail) + rs
+    return np.concatenate([a[:cut_a], b])
+
+
+def trim_segments(template: np.ndarray, segs: list, margin: int,
+                  max_err: float = 0.4):
+    """Cut each (longer) segment to exactly the template's span via one
+    batched infix alignment (template as query, free segment ends) — the
+    counterpart of the reference's per-window read splitting
+    (consensus/mod.rs:620-707)."""
+    from ..ops.banded_align import align_with_cigar_batch, diagonal_offsets
+    if not segs:
+        return []
+    t = np.asarray(template, np.int8)
+    Q = ((len(t) + 63) // 64) * 64
+    Tpad = ((max(len(s) for s in segs) + 63) // 64) * 64
+    W = ((2 * margin + len(t) // 8 + 127) // 128) * 128
+    B = len(segs)
+    qs = np.tile(np.concatenate([t, np.full(Q - len(t), 4, np.int8)]),
+                 (B, 1))
+    rs = np.full((B, Tpad), 4, np.int8)
+    t_lens = np.zeros(B, np.int32)
+    offs = np.zeros((B, Q + 1), np.int32)
+    for i, s in enumerate(segs):
+        rs[i, :len(s)] = s
+        t_lens[i] = len(s)
+        diag = max((len(s) - len(t)) // 2, 0)
+        offs[i] = diagonal_offsets(len(t), diag, len(s), Q, W)
+    res = align_with_cigar_batch(qs, rs, offs,
+                                 np.full(B, len(t), np.int32), t_lens, W,
+                                 "infix")
+    out = []
+    for i, s in enumerate(segs):
+        d = int(res["score"][i])
+        if d > max_err * len(t):
+            continue
+        lo, hi = int(res["start_j"][i]), int(res["end_j"][i])
+        if hi - lo < len(t) // 2:
+            continue
+        out.append(s[lo:hi])
+    return out
+
+
+def polish_contigs(ds: DataSet, contigs, window: int = 2000,
+                   overlap: int = 100, margin: int = 150, cap: int = 30,
+                   min_cov: int = 4, rounds: int = 1, seed: int = 42) -> list:
+    """Polish contig dicts in place (seq replaced); returns the contigs."""
+    params = PHMMParams.from_hmmparam(ds.model_param.forward)
+    read_codes = [seqmod.encode(er.recover_raw_read())
+                  for er in ds.encoded_reads]
+    rng = np.random.default_rng(seed)
+    for _ in range(rounds):
+        per_contig = _read_anchors(ds, contigs)
+        for ci, contig in enumerate(contigs):
+            cseq = seqmod.encode(contig["seq"])
+            if len(cseq) < 100:
+                continue
+            aligns = per_contig.get(ci, [])
+            if not aligns:
+                continue
+            polished_parts = []
+            n_win = max((len(cseq) + window - 1) // window, 1)
+            for wi in range(n_win):
+                w0 = wi * window
+                w1 = min(w0 + window, len(cseq))
+                ext0 = max(w0 - overlap, 0)
+                ext1 = min(w1 + overlap, len(cseq))
+                template = cseq[ext0:ext1]
+                segs = []
+                for ri, sign, chain in aligns:
+                    cs0 = min(a[2] for a in chain)
+                    ce1 = max(a[3] for a in chain)
+                    if ce1 <= ext0 or cs0 >= ext1:
+                        continue
+                    # only reads covering the whole window give good templates
+                    if cs0 > ext0 + 50 or ce1 < ext1 - 50:
+                        continue
+                    seg = _window_segment(read_codes[ri], sign, chain,
+                                          ext0, ext1, margin)
+                    if seg is not None:
+                        segs.append(seg)
+                if len(segs) > cap:
+                    idx = rng.permutation(len(segs))[:cap]
+                    segs = [segs[i] for i in idx]
+                segs = trim_segments(template, segs, margin)
+                if len(segs) >= min_cov:
+                    band = max(ReadType.band_width(ds.read_type,
+                                                   len(template)), 64)
+                    band = ((band + 63) // 64) * 64
+                    template, _ = polish_until_converge(
+                        template, segs, params, W=band, max_rounds=6)
+                polished_parts.append((ext0, w0, w1, ext1, template))
+            # stitch neighbouring windows (they overlap by ~2*overlap bp)
+            out = None
+            for (ext0, w0, w1, ext1, tpl) in polished_parts:
+                if out is None:
+                    out = tpl
+                    continue
+                out = _stitch(out, tpl, 2 * overlap)
+            if out is not None:
+                contig["seq"] = seqmod.decode(out).decode()
+    ds.push_stage("PolishContigs", [])
+    return contigs

@@ -67,6 +67,8 @@ def _pileup_tables(reads, strands, template, params_f, params_r, W, Tpad,
     for i, r in enumerate(reads):
         qs[i, :len(r)] = r
     q_lens = np.array([len(r) for r in reads], np.int32)
+    from ..ops.polish import effective_band
+    W = effective_band(W, q_lens, t_len)
     offs = np.stack([linear_offsets(int(l), t_len, Qpad, W) for l in q_lens])
     lks = np.zeros(R)
     profs = np.zeros((R, (Tpad + 1) * NUM_EDIT), np.float32)

@@ -56,16 +56,9 @@ def test_e2e_diploid_assembly():
     segs, links = parse_gfa(gfa)
     assert len(segs) >= 2
     # every contig >= 300 bp must match one haplotype with high identity
-    total_len = 0
-    for name, rec in segs.items():
-        cseq = seqmod.encode(rec["seq"])
-        if len(cseq) < 300:
-            continue
-        total_len += len(cseq)
-        dists = []
-        for hap in (hap1, hap2):
-            for strand_seq in (cseq, seqmod.revcomp(cseq)):
-                d, _, _, _ = edit_align(strand_seq, hap, W=256, mode="infix")
-                dists.append(d / len(cseq))
-        assert min(dists) < 0.10, (name, len(cseq), min(dists))
-    assert total_len > 4000, total_len
+    from jtk_tpu.io.eval import assembly_metrics
+    m = assembly_metrics(gfa, [hap1, hap2])
+    for name, rec in m["contigs"].items():
+        assert rec["error"] < 0.08, (name, rec)
+    assert m["total_len"] > 4000, m
+    assert m["mean_error"] < 0.05, m
