@@ -51,8 +51,8 @@ def _post_sim(p: np.ndarray, q: np.ndarray) -> float:
     if len(p) != len(q) or len(p) == 0:
         return 0.0
     k = len(p)
-    agree = logsumexp(p + q)
-    return float(agree + np.log(k))
+    agree = float(logsumexp(p + q))
+    return agree + float(np.log(k))
 
 
 def _arm_sim(a, b) -> float:
