@@ -72,12 +72,19 @@ def parse_si(s: str) -> int:
 def run_pipeline(config: PipelineConfig) -> str:
     """Run the full pipeline; returns the path of the final GFA."""
     from .stages.assemble import assemble
+    from .stages.correction import correct_clustering
+    from .stages.deletion_fill import correct_deletion
+    from .stages.dense_encoding import dense_encoding
     from .stages.determine_chunks import select_chunks
     from .stages.entry import entry
     from .stages.local_clustering import local_clustering
+    from .stages.model_tune import update_models_on_both_strands
     from .stages.multiplicity import estimate_multiplicity, purge_multiplicity
     from .stages.pick_component import pick_top_n_component
+    from .stages.purge_diverged import purge_diverged, purge_largeindel
+    from .stages.remove_erroneous import remove_erroneous_nodes
     from .stages.repeat_masking import mask_repeats
+    from .stages.squish import squish_erroneous_clusters
 
     os.makedirs(config.out_dir, exist_ok=True)
     stem = os.path.join(config.out_dir, config.prefix)
@@ -111,12 +118,14 @@ def run_pipeline(config: PipelineConfig) -> str:
             ds.coverage = Coverage(config.haploid_coverage, protected=True)
         ds.dump(paths["entry"])
 
-    # --- encoded phase ---
+    # --- encoded phase (SURVEY.md §3.1 / cli/src/pipeline.rs:143-154) ---
     def encoded_phase(ds):
         mask_repeats(ds, config.kmersize, config.top_freq, config.min_count)
         select_chunks(ds, config.chunk_len, int(take_num), config.margin,
                       config.seed, config.purge_copy_num)
         pick_top_n_component(ds, config.component_num)
+        correct_deletion(ds, re_cluster=False)
+        remove_erroneous_nodes(ds)
         estimate_multiplicity(ds, draft_gfa=f"{stem}.draft.gfa")
         purge_multiplicity(ds, config.purge_copy_num)
         return ds
@@ -125,19 +134,37 @@ def run_pipeline(config: PipelineConfig) -> str:
 
     # --- clustered phase ---
     def clustered_phase(ds):
+        update_models_on_both_strands(ds, seed=config.seed)
         local_clustering(ds, seed=config.seed)
         return ds
 
     ds = phase("clustered", clustered_phase, ds)
 
-    # --- corrected phase (quality loop lands here in later rounds) ---
-    def corrected_phase(ds):
+    # --- de phase (pipeline.rs:161-170) ---
+    def de_phase(ds):
+        purge_diverged(ds)
+        purge_largeindel(ds)
+        correct_deletion(ds, re_cluster=True)
+        dense_encoding(ds, length=config.compress_contig, seed=config.seed)
+        correct_deletion(ds, re_cluster=True)
         return ds
 
-    ds = phase("corrected", corrected_phase, ds) if False else ds
+    ds = phase("de", de_phase, ds)
+
+    # --- corrected phase (pipeline.rs:171-177) ---
+    def corrected_phase(ds):
+        squish_erroneous_clusters(ds, ari=config.supress_ari,
+                                  match_score=config.match_ari,
+                                  mismatch_score=config.mismatch_ari,
+                                  count=config.required_count)
+        correct_clustering(ds, seed=config.seed)
+        return ds
+
+    ds = phase("corrected", corrected_phase, ds)
     ds.dump(paths["corrected"])
 
     # --- assemble ---
     out_gfa = f"{stem}.gfa"
-    assemble(ds, out_path=out_gfa)
+    assemble(ds, out_path=out_gfa, to_polish=config.to_polish,
+             window_size=config.polish_window_size, seed=config.seed)
     return out_gfa
