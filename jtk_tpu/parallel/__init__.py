@@ -16,12 +16,10 @@ over reads with a ``psum`` gradient merge — replacing kiley's
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.phmm import PHMMParams, forward_banded
 

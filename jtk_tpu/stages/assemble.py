@@ -12,7 +12,7 @@ import logging
 
 import numpy as np
 
-from ..datamodel import DataSet, ReadType
+from ..datamodel import DataSet
 from ..graph.copy_number import assign_copy_numbers
 from ..graph.ditch_graph import HEAD, TAIL, DitchGraph
 from ..io.gfa import contigs_to_gfa

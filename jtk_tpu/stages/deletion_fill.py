@@ -22,8 +22,8 @@ from collections import defaultdict
 import numpy as np
 
 from .. import seq as seqmod
-from ..datamodel import DataSet, Node
-from ..mapper import Candidate, extend_candidates, flip_cigar
+from ..datamodel import DataSet
+from ..mapper import Candidate, extend_candidates
 from .encode import _dedup_nodes, _node_from_result, nodes_to_encoded_read
 from .error_rate import estimate_error_rate
 

@@ -12,12 +12,9 @@ dropped by the identity filter alone.
 
 from __future__ import annotations
 
-import numpy as np
-
 from .. import seq as seqmod
 from ..datamodel import DataSet, Edge, EncodedRead, Node, ReadType
 from ..mapper import ChunkIndex, extend_candidates, flip_cigar
-from ..ops.banded_align import ops_rle
 
 
 def _node_from_result(res, read_codes, read_ascii):

@@ -7,7 +7,7 @@ threshold (>100 bp for ONT/CCS, >40 bp for CLR) to tame alignment artifacts.
 
 from __future__ import annotations
 
-from ..datamodel import DataSet, ErrorRate, RawRead, ReadType
+from ..datamodel import DataSet, RawRead, ReadType
 
 
 def _compress_homopolymers(seq: str, max_run: int) -> str:

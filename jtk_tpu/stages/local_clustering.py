@@ -22,12 +22,12 @@ import time
 import numpy as np
 
 from .. import seq as seqmod
-from ..datamodel import DataSet, ReadType, ops_to_str, ops_from_str
-from ..ops.banded_align import banded_align_batch, linear_offsets, ops_rle, traceback_batch
+from ..datamodel import DataSet, ReadType
+from ..ops.banded_align import linear_offsets
 from ..ops.cluster import POS_THR, mcmc_cluster_batch, poisson_size_table, used_columns_and_gains
 from ..ops.modtable import NUM_EDIT, modification_table_pileup
 from ..ops.phmm import PHMMParams
-from ..ops.polish import pileup_modification_gains, polish_until_converge
+from ..ops.polish import polish_until_converge
 from .likelihood_gains import Gains, estimate_gains
 from .util import homopolymer_length, logsumexp, update_coverage
 

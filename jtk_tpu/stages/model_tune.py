@@ -31,7 +31,6 @@ def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
                 init: PHMMParams, W: int, steps: int = 60,
                 lr: float = 0.3):
     import jax
-    import jax.numpy as jnp
     from ..parallel import params_to_theta, theta_to_params, _batch_neg_lk
 
     if not reads:

@@ -34,7 +34,6 @@ def estimate_multiplicity(ds: DataSet, thr: int = 3, draft_gfa: str | None = Non
         c.copy_num = max(per_chunk.get(c.id, 0), 1)
         c.cluster_num = min(c.cluster_num, c.copy_num)
     if draft_gfa:
-        from .assemble import clean_up_graph_for_assemble, contig_links
         from ..io.gfa import contigs_to_gfa
         contigs = g.spell()
         with open(draft_gfa, "w") as f:

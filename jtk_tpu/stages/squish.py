@@ -13,8 +13,6 @@ from __future__ import annotations
 import logging
 from collections import defaultdict
 
-import numpy as np
-
 from ..datamodel import DataSet
 from .util import adjusted_rand_index
 
