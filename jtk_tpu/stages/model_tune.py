@@ -29,8 +29,9 @@ logger = logging.getLogger(__name__)
 
 def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
                 init: PHMMParams, W: int, steps: int = 60,
-                lr: float = 0.3):
+                lr: float = 0.05, clip: float = 1.0):
     import jax
+    import jax.numpy as jnp
     from ..parallel import params_to_theta, theta_to_params, _batch_neg_lk
 
     if not reads:
@@ -46,24 +47,40 @@ def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
     theta = params_to_theta(init)
 
     @jax.jit
-    def step_fn(theta, m):
+    def step_fn(theta):
         (loss, n), g = jax.value_and_grad(
             lambda th: _batch_neg_lk(th, qs, template, offs, q_lens,
                                      np.int32(t_len), W),
             has_aux=True)(theta)
-        # momentum SGD on normalized gradient
-        m = jax.tree.map(lambda mm, gg: 0.7 * mm + gg / n, m, g)
-        theta = jax.tree.map(lambda t, mm: t - lr * mm, theta, m)
-        return theta, m, loss / n
+        # per-base-pair normalized, globally clipped gradient step
+        total_bp = jnp.sum(q_lens.astype(jnp.float32))
+        g = jax.tree.map(lambda gg: gg / total_bp, g)
+        gnorm = jnp.sqrt(sum(jnp.sum(gg ** 2)
+                             for gg in jax.tree.leaves(g)))
+        scale = jnp.minimum(1.0, clip / (gnorm + 1e-9))
+        theta = jax.tree.map(lambda t, gg: t - lr * scale * gg, theta, g)
+        return theta, loss / n
 
-    m = jax.tree.map(lambda t: t * 0.0, theta)
     prev = None
+    best = theta
     for it in range(steps):
-        theta, m, loss = step_fn(theta, m)
-        if prev is not None and abs(float(loss) - prev) < 1e-4:
+        theta, loss = step_fn(theta)
+        loss = float(loss)
+        if not np.isfinite(loss) or any(
+                not np.all(np.isfinite(np.asarray(x)))
+                for x in jax.tree.leaves(theta)):
+            logger.warning("model fit diverged at step %d; keeping previous",
+                           it)
+            theta = best
             break
-        prev = float(loss)
-    return theta_to_params(theta)
+        best = theta
+        if prev is not None and abs(loss - prev) < 1e-4:
+            break
+        prev = loss
+    out = theta_to_params(theta)
+    if any(not np.all(np.isfinite(np.asarray(x))) for x in out):
+        return init
+    return out
 
 
 def _params_to_hmmparam(p: PHMMParams) -> HMMParam:
