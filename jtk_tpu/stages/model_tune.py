@@ -44,6 +44,17 @@ def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
     q_lens = np.array([len(r) for r in reads], np.int32)
     W = effective_band(W, q_lens, t_len)
     offs = np.stack([linear_offsets(int(l), t_len, Qpad, W) for l in q_lens])
+
+    # drop outlier reads that barely fit the template (their underflowed
+    # forward rows produce non-finite gradients)
+    from ..ops.phmm import likelihood_pileup
+    lks = np.asarray(likelihood_pileup(qs, template, offs, q_lens,
+                                       np.int32(t_len), init, W))
+    keep = lks / np.maximum(q_lens, 1) > -2.0
+    if keep.sum() < 2:
+        return init
+    qs, offs, q_lens = qs[keep], offs[keep], q_lens[keep]
+
     theta = params_to_theta(init)
 
     @jax.jit
@@ -52,9 +63,10 @@ def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
             lambda th: _batch_neg_lk(th, qs, template, offs, q_lens,
                                      np.int32(t_len), W),
             has_aux=True)(theta)
-        # per-base-pair normalized, globally clipped gradient step
+        # sanitize, per-base-pair normalize, and globally clip the gradient
         total_bp = jnp.sum(q_lens.astype(jnp.float32))
-        g = jax.tree.map(lambda gg: gg / total_bp, g)
+        g = jax.tree.map(
+            lambda gg: jnp.where(jnp.isfinite(gg), gg, 0.0) / total_bp, g)
         gnorm = jnp.sqrt(sum(jnp.sum(gg ** 2)
                              for gg in jax.tree.leaves(g)))
         scale = jnp.minimum(1.0, clip / (gnorm + 1e-9))
