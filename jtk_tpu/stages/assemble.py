@@ -30,14 +30,24 @@ def build_graph(ds: DataSet, lightweight_frac: float = 0.15) -> DitchGraph:
     return g
 
 
-def clean_up_graph_for_assemble(g: DitchGraph, cov: float) -> None:
-    """assemble/mod.rs via ditch_graph/mod.rs:645-701 (round-1 subset:
-    copy-number assignment, zero-copy removal, tips; repeat resolution by foci
-    comes with the quality loop)."""
+def clean_up_graph_for_assemble(g: DitchGraph, cov: float,
+                                encoded_reads=None, min_span: int = 2,
+                                min_llr: float = 1.0) -> None:
+    """ditch_graph/mod.rs:645-701: copy-number assignment, zero-copy/tip
+    removal, and the LLR-threshold loop of focus-based repeat resolution."""
     assign_copy_numbers(g, cov)
     g.remove_zero_copy_elements()
     g.remove_tips()
     assign_copy_numbers(g, cov)
+    if encoded_reads is not None:
+        from ..graph.foci import resolve_repeats
+        for llr in (10.0, 4.0, max(min_llr, 0.1)):
+            n = resolve_repeats(g, encoded_reads, min_span=min_span,
+                                llr_thr=llr)
+            if n:
+                assign_copy_numbers(g, cov)
+        g.remove_zero_copy_elements()
+        g.remove_tips()
 
 
 def contig_links(g: DitchGraph, contigs):
@@ -77,7 +87,7 @@ def assemble(ds: DataSet, out_path: str | None = None,
              window_size: int = 2000, seed: int = 42) -> str:
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     g = build_graph(ds, lightweight_frac)
-    clean_up_graph_for_assemble(g, cov)
+    clean_up_graph_for_assemble(g, cov, ds.encoded_reads)
     g.sanity_check()
     raw = g.spell_with_paths()
     contigs = [c for c in raw if len(c["seq"]) > 0]

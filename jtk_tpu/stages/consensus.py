@@ -35,7 +35,9 @@ def _read_anchors(ds: DataSet, contigs):
     tile_ix = {}
     for ci, c in enumerate(contigs):
         for t in c.get("tiles", []):
-            tile_ix.setdefault(t["node"], []).append((ci, t))
+            # cloned nodes carry (chunk, cluster, dup) keys; anchor on the
+            # (chunk, cluster) identity
+            tile_ix.setdefault(tuple(t["node"][:2]), []).append((ci, t))
     per_contig = {ci: [] for ci in range(len(contigs))}
     for ri, er in enumerate(ds.encoded_reads):
         cands = {}

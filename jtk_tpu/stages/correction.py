@@ -124,13 +124,13 @@ def correct_clustering(ds: DataSet, repeat_num: int = 5,
         return ds
     # squish low-agreement chunks unless protected by a high clustering score
     ari_vals = sorted(aris.values())
-    cutoff = ari_vals[max(int(len(ari_vals) * squish_quantile) - 1, 0)] \
-        if ari_vals else -1.0
+    cutoff = min(ari_vals[max(int(len(ari_vals) * squish_quantile) - 1, 0)]
+                 if ari_vals else -1.0, 0.5)
     scores = [chunks[c].score for c in aris]
     protect_score = np.quantile(scores, 0.5) if scores else 0.0
     for cid, (asn, k) in new_assignments.items():
         chunk = chunks[cid]
-        if aris[cid] <= cutoff and chunk.score < protect_score:
+        if aris[cid] < cutoff and chunk.score < protect_score:
             chunk.cluster_num = 1
             for ri, ni in occurrences[cid]:
                 node = ds.encoded_reads[ri].nodes[ni]
