@@ -166,5 +166,6 @@ def run_pipeline(config: PipelineConfig) -> str:
     # --- assemble ---
     out_gfa = f"{stem}.gfa"
     assemble(ds, out_path=out_gfa, to_polish=config.to_polish,
-             window_size=config.polish_window_size, seed=config.seed)
+             window_size=config.polish_window_size, seed=config.seed,
+             dump_prefix=stem if config.to_polish else None)
     return out_gfa

@@ -84,7 +84,8 @@ def contig_links(g: DitchGraph, contigs):
 
 def assemble(ds: DataSet, out_path: str | None = None,
              lightweight_frac: float = 0.15, to_polish: bool = True,
-             window_size: int = 2000, seed: int = 42) -> str:
+             window_size: int = 2000, seed: int = 42,
+             dump_prefix: str | None = None) -> str:
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     g = build_graph(ds, lightweight_frac)
     clean_up_graph_for_assemble(g, cov, ds.encoded_reads)
@@ -98,6 +99,10 @@ def assemble(ds: DataSet, out_path: str | None = None,
             if ds.raw_reads else window_size
         polish_contigs(ds, contigs, window=window, seed=seed)
     links = contig_links(g, contigs)
+    if dump_prefix:
+        from .consensus import dump_coverage, dump_sam
+        dump_coverage(ds, contigs, f"{dump_prefix}.coverage.tsv")
+        dump_sam(ds, contigs, f"{dump_prefix}.sam")
     gfa = contigs_to_gfa(contigs, links)
     if out_path:
         with open(out_path, "w") as f:

@@ -22,7 +22,7 @@ import numpy as np
 
 from .. import seq as seqmod
 from ..datamodel import DataSet, ReadType
-from ..ops.banded_align import edit_align
+from ..ops.banded_align import edit_align, linear_offsets
 from ..ops.phmm import PHMMParams
 from ..ops.polish import polish_until_converge
 
@@ -159,6 +159,76 @@ def trim_segments(template: np.ndarray, segs: list, margin: int,
             continue
         out.append(s[lo:hi])
     return out
+
+
+def dump_coverage(ds: DataSet, contigs, path: str, window: int = 1000,
+                  names=None):
+    """{prefix}.coverage.tsv — smoothed per-window read coverage per contig
+    (consensus/mod.rs:140-250)."""
+    per_contig = _read_anchors(ds, contigs)
+    with open(path, "w") as f:
+        f.write("contig\tposition\tcoverage\n")
+        for ci, contig in enumerate(contigs):
+            L = len(contig["seq"])
+            cov = np.zeros(max(L // window + 1, 1))
+            for _ri, _sign, chain in per_contig.get(ci, []):
+                lo = min(a[2] for a in chain)
+                hi = max(a[3] for a in chain)
+                cov[max(lo // window, 0): hi // window + 1] += 1
+            name = names[ci] if names else f"tig_{ci:04d}"
+            for w, c in enumerate(cov):
+                f.write(f"{name}\t{w * window}\t{int(c)}\n")
+
+
+def dump_sam(ds: DataSet, contigs, path: str, names=None, W: int = 128,
+             max_reads: int | None = None):
+    """{prefix}.sam — read-to-contig alignments re-derived from the chunk-space
+    anchors, refined by one banded global alignment per read span."""
+    from ..ops.banded_align import align_with_cigar_batch
+    from ..ops.polish import effective_band
+    per_contig = _read_anchors(ds, contigs)
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:unsorted\n")
+        for ci, contig in enumerate(contigs):
+            name = names[ci] if names else f"tig_{ci:04d}"
+            f.write(f"@SQ\tSN:{name}\tLN:{len(contig['seq'])}\n")
+        for ci, contig in enumerate(contigs):
+            name = names[ci] if names else f"tig_{ci:04d}"
+            cseq = seqmod.encode(contig["seq"])
+            aligns = per_contig.get(ci, [])
+            if max_reads:
+                aligns = aligns[:max_reads]
+            for ri, sign, chain in aligns:
+                er = ds.encoded_reads[ri]
+                raw = er.recover_raw_read()
+                codes = seqmod.encode(raw)
+                rs = min(a[0] for a in chain)
+                re_ = max(a[1] for a in chain)
+                cs = min(a[2] for a in chain)
+                ce = max(a[3] for a in chain)
+                seg = codes[rs:re_]
+                if sign < 0:
+                    seg = seqmod.revcomp(seg)
+                tpl = cseq[cs:ce]
+                if len(seg) < 32 or len(tpl) < 32:
+                    continue
+                band = effective_band(W, np.array([len(seg)]), len(tpl))
+                Qpad = ((len(seg) + 63) // 64) * 64
+                qp = np.full(Qpad, 4, np.int8)
+                qp[:len(seg)] = seg
+                try:
+                    offs = np.stack([linear_offsets(len(seg), len(tpl),
+                                                    Qpad, band)])
+                except AssertionError:
+                    continue
+                res = align_with_cigar_batch(
+                    qp[None], tpl[None], offs, np.array([len(seg)], np.int32),
+                    np.array([len(tpl)], np.int32), band, "global")
+                cigar = "".join(f"{l}{k}" for k, l in res["cigar"][0])
+                flag = 0 if sign > 0 else 16
+                seq_str = seqmod.decode(seg).decode()
+                f.write(f"{er.id}\t{flag}\t{name}\t{cs + 1}\t60\t{cigar}\t*"
+                        f"\t0\t0\t{seq_str}\t*\n")
 
 
 def polish_contigs(ds: DataSet, contigs, window: int = 2000,

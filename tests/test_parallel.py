@@ -19,7 +19,7 @@ def test_dryrun_multichip_8dev():
     )
     res = subprocess.run([sys.executable, "-c", code], env=env,
                          cwd=os.path.dirname(os.path.dirname(__file__)),
-                         capture_output=True, text=True, timeout=1200)
+                         capture_output=True, text=True, timeout=2400)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "ok" in res.stdout
 
@@ -37,6 +37,6 @@ def test_entry_compiles():
     )
     res = subprocess.run([sys.executable, "-c", code], env=env,
                          cwd=os.path.dirname(os.path.dirname(__file__)),
-                         capture_output=True, text=True, timeout=1200)
+                         capture_output=True, text=True, timeout=2400)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "entry ok" in res.stdout
