@@ -10,6 +10,7 @@ reads.  Replace with a measured number when a reference binary is available.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -19,15 +20,20 @@ REF_READS_PER_S_ESTIMATE = 30.0
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from jtk_tpu import seq as seqmod
     from jtk_tpu.datamodel import Chunk
     from jtk_tpu.io import sim
     from jtk_tpu.stages.encode import encode
 
     rng = np.random.default_rng(42)
-    genome_len = 100_000
+    genome_len = 200_000
     hap1, hap2 = sim.diploid(rng, genome_len, het=0.001)
-    reads = sim.simulate_reads(rng, [hap1, hap2], coverage=20,
+    reads = sim.simulate_reads(rng, [hap1, hap2], coverage=24,
                                mean_len=18_000, error=0.05)
     ds = sim.reads_to_dataset(reads)
     # chunk set: windows of hap1 at 2 kbp (chunk selection benched separately)

@@ -150,7 +150,7 @@ class ChunkIndex:
 
 def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
                       chunk_seqs: dict[int, np.ndarray], W: int = 256,
-                      margin: int = 200, batch: int = 512):
+                      margin: int = 200, batch: int = 2048):
     """Verify candidates with the K3 kernel: chunk globally aligned inside the
     read window (free window ends).  Returns per-candidate dicts with
     dist, cigar (chunk-as-query), window span, and strand-coord positions.
