@@ -8,7 +8,7 @@ import numpy as np
 def logsumexp(xs: np.ndarray, axis=None):
     m = np.max(xs, axis=axis, keepdims=True)
     out = np.log(np.sum(np.exp(xs - m), axis=axis, keepdims=True)) + m
-    return out if axis is None else np.squeeze(out, axis=axis)
+    return float(out.reshape(())) if axis is None else np.squeeze(out, axis=axis)
 
 
 def update_coverage(ds) -> float:
