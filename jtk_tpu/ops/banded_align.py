@@ -252,9 +252,9 @@ def align_with_cigar_batch(qs, rs, offsets, q_lens, t_lens, W: int,
             jnp.asarray(qs), jnp.asarray(rs), jnp.asarray(offsets),
             jnp.asarray(q_lens, jnp.int32), jnp.asarray(t_lens, jnp.int32),
             W, mode)
-    score = np.asarray(score)
-    end_j = np.asarray(end_j)
-    start_j = np.asarray(start_j)
+    score = np.asarray(score).copy()
+    end_j = np.asarray(end_j).copy()
+    start_j = np.asarray(start_j).copy()
     del_vals = np.asarray(del_vals)
     del_idx = np.asarray(del_idx).astype(np.int64)
     n_runs = np.asarray(n_runs)

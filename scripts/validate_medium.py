@@ -40,7 +40,7 @@ def main():
             f.write(f">sim_{i}\n{seqmod.decode(r['codes']).decode()}\n")
     cfg = PipelineConfig(input_file=fa, read_type="ONT", out_dir=out,
                          prefix="v", region_size=str(L), seed=13,
-                         to_polish=True)
+                         to_polish=True, resume=True)
     t0 = time.time()
     gfa_path = run_pipeline(cfg)
     wall = time.time() - t0
