@@ -41,6 +41,8 @@ def _roll_right1(x, fill):
 
 def _phmm_fwd_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref, qlen_ref,
                      tlen_ref, trans_ref, me_ref, ie_ref, out_ref):
+    import jax.experimental.pallas as pl
+
     W = rc0_ref.shape[1]
     Q = qs_ref.shape[1]
     t = trans_ref[:]
@@ -80,56 +82,67 @@ def _phmm_fwd_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref, qlen_ref,
     M, I, D = M / s0, I / s0, D / s0
     logs = jnp.log(s0[:, 0])
     rc = rc0_ref[:].astype(jnp.int32)           # (SUB, W) ref chars
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+    qprev0 = jnp.full((SUB,), 4, jnp.int32)
 
-    def body(i, carry):
-        M, I, D, logs, j, rc = carry
-        qc = qs_ref[:, i - 1].astype(jnp.int32)            # (SUB,)
-        qprev = jnp.where(i >= 2, qs_ref[:, jnp.maximum(i - 2, 0)],
-                          jnp.full_like(qs_ref[:, 0], 4)).astype(jnp.int32)
-        s = shifts_ref[:, i - 1].astype(jnp.float32)[:, None]  # (SUB,1) 0/1
-        one = s == 1.0
-        Md = jnp.where(one, M, _roll_right1(M, 0.0))
-        Id = jnp.where(one, I, _roll_right1(I, 0.0))
-        Dd = jnp.where(one, D, _roll_right1(D, 0.0))
-        Mu = jnp.where(one, _roll_left1(M, 0.0), M)
-        Iu = jnp.where(one, _roll_left1(I, 0.0), I)
-        Du = jnp.where(one, _roll_left1(D, 0.0), D)
-        newc = inc_ref[:, i - 1].astype(jnp.int32)
-        rc_shift = _roll_left1(rc, 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, rc.shape, 1)
-        rc_shift = jnp.where(lane == W - 1, newc[:, None], rc_shift)
-        rc = jnp.where(one, rc_shift, rc)
-        j = j + s
-        # emission tables gathered per pair: me[:, qc], ie[qprev, qc]
-        me_col = jnp.zeros((qc.shape[0], 4), jnp.float32)
-        ei = jnp.zeros((qc.shape[0],), jnp.float32)
-        for b in range(4):
-            hit = (qc == b).astype(jnp.float32)
-            me_col = me_col + hit[:, None] * me[:4, b][None, :]
-            for p in range(5):
-                ei = ei + hit * jnp.where(qprev == p, 1.0, 0.0) * ie[p, b]
-        em = emis_row(rc, me_col)
-        ok = (j >= 1) & (j <= tlenf[:, None])
-        em = jnp.where(ok, em, 0.0)
-        Mrow = em * (tmm * Md + tim * Id + tdm * Dd)
-        Irow = ei[:, None] * (tmi * Mu + tii * Iu + tdi * Du)
-        Irow = jnp.where(j <= tlenf[:, None], Irow, 0.0)
-        c = tmd * _roll_right1(Mrow, 0.0) + tid * _roll_right1(Irow, 0.0)
-        Drow = linrec(c, tdd)
-        Drow = jnp.where(ok, Drow, 0.0)
-        sc = jnp.sum(Mrow + Irow + Drow, axis=1, keepdims=True) + 1e-30
-        Mrow, Irow, Drow = Mrow / sc, Irow / sc, Drow / sc
-        live = (i <= qlen)[:, None]
-        Mn = jnp.where(live, Mrow, M)
-        In = jnp.where(live, Irow, I)
-        Dn = jnp.where(live, Drow, D)
-        logs = logs + jnp.where(live[:, 0], jnp.log(sc[:, 0]), 0.0)
-        jn = jnp.where(live, j, j - s)
-        rcn = rc
-        return Mn, In, Dn, logs, jn, rcn
+    def outer(tblk, carry):
+        # lane-aligned tile loads; per-row scalars come from masked reduces
+        col = pl.multiple_of(tblk * 128, 128)
+        qt = qs_ref[:, pl.ds(col, 128)]
+        st = shifts_ref[:, pl.ds(col, 128)]
+        it = inc_ref[:, pl.ds(col, 128)]
 
-    M, I, D, logs, j, rc = jax.lax.fori_loop(
-        1, Q + 1, body, (M, I, D, logs, j, rc))
+        def body(r, carry):
+            M, I, D, logs, j, rc, qprev = carry
+            i = tblk * 128 + r + 1
+            sel = lane128 == r
+            qc = jnp.sum(jnp.where(sel, qt, 0), axis=1)         # (SUB,)
+            sv = jnp.sum(jnp.where(sel, st, 0), axis=1)
+            newc = jnp.sum(jnp.where(sel, it, 0), axis=1)
+            s = sv.astype(jnp.float32)[:, None]                 # (SUB,1)
+            one = s == 1.0
+            Md = jnp.where(one, M, _roll_right1(M, 0.0))
+            Id = jnp.where(one, I, _roll_right1(I, 0.0))
+            Dd = jnp.where(one, D, _roll_right1(D, 0.0))
+            Mu = jnp.where(one, _roll_left1(M, 0.0), M)
+            Iu = jnp.where(one, _roll_left1(I, 0.0), I)
+            Du = jnp.where(one, _roll_left1(D, 0.0), D)
+            rc_shift = _roll_left1(rc, 0)
+            rc_shift = jnp.where(laneW == W - 1, newc[:, None], rc_shift)
+            rc = jnp.where(one, rc_shift, rc)
+            j = j + s
+            # emission tables gathered per pair: me[:, qc], ie[qprev, qc]
+            me_col = jnp.zeros((SUB, 4), jnp.float32)
+            ei = jnp.zeros((SUB,), jnp.float32)
+            for b in range(4):
+                hit = (qc == b).astype(jnp.float32)
+                me_col = me_col + hit[:, None] * me[:4, b][None, :]
+                for p in range(5):
+                    ei = ei + hit * jnp.where(qprev == p, 1.0, 0.0) * ie[p, b]
+            em = emis_row(rc, me_col)
+            ok = (j >= 1) & (j <= tlenf[:, None])
+            em = jnp.where(ok, em, 0.0)
+            Mrow = em * (tmm * Md + tim * Id + tdm * Dd)
+            Irow = ei[:, None] * (tmi * Mu + tii * Iu + tdi * Du)
+            Irow = jnp.where(j <= tlenf[:, None], Irow, 0.0)
+            c = tmd * _roll_right1(Mrow, 0.0) + tid * _roll_right1(Irow, 0.0)
+            Drow = linrec(c, tdd)
+            Drow = jnp.where(ok, Drow, 0.0)
+            sc = jnp.sum(Mrow + Irow + Drow, axis=1, keepdims=True) + 1e-30
+            Mrow, Irow, Drow = Mrow / sc, Irow / sc, Drow / sc
+            live = (i <= qlen)[:, None]
+            Mn = jnp.where(live, Mrow, M)
+            In = jnp.where(live, Irow, I)
+            Dn = jnp.where(live, Drow, D)
+            logs = logs + jnp.where(live[:, 0], jnp.log(sc[:, 0]), 0.0)
+            jn = jnp.where(live, j, j - s)
+            return Mn, In, Dn, logs, jn, rc, qc
+
+        return jax.lax.fori_loop(0, 128, body, carry)
+
+    M, I, D, logs, j, rc, _ = jax.lax.fori_loop(
+        0, Q // 128, outer, (M, I, D, logs, j, rc, qprev0))
     fin = jnp.sum(jnp.where(j == tlenf[:, None], M + I + D, 0.0), axis=1)
     lk = jnp.log(fin + 1e-30) + logs            # (SUB,)
     out_ref[:] = jnp.broadcast_to(lk[:, None], out_ref.shape)
@@ -179,12 +192,12 @@ def pallas_likelihood_pileup(reads, template: np.ndarray,
     t_len = len(template)
     q_lens = np.array([len(r) for r in reads], np.int32)
     W = effective_band(W, q_lens, t_len)
-    Q = ((int(q_lens.max()) + 7) // 8) * 8
+    Q = ((int(q_lens.max()) + 127) // 128) * 128
     B = ((len(reads) + SUB - 1) // SUB) * SUB
-    qs = np.full((B, Q), 4, np.int8)
-    shifts = np.zeros((B, Q), np.int8)
-    inc = np.full((B, Q), 4, np.int8)
-    rc0 = np.full((B, W), 4, np.int8)
+    qs = np.full((B, Q), 4, np.int32)
+    shifts = np.zeros((B, Q), np.int32)
+    inc = np.full((B, Q), 4, np.int32)
+    rc0 = np.full((B, W), 4, np.int32)
     j0 = np.zeros((B, W), np.int32)
     qlp = np.ones((B, 1), np.int32)
     tlp = np.ones((B, 1), np.int32)
@@ -195,7 +208,7 @@ def pallas_likelihood_pileup(reads, template: np.ndarray,
     for i, r in enumerate(reads):
         qs[i, :len(r)] = r
         off = linear_offsets(int(q_lens[i]), t_len, Q, W)
-        shifts[i, :] = np.diff(off).astype(np.int8)
+        shifts[i, :] = np.diff(off)
         # rc[k] = r[off+k-1] = r_pad[off+k]; char entering lane W-1 on a
         # shift at row i is r_pad[off[i] + W - 1]
         inc[i, :] = r_pad[off[1:] + W - 1]
