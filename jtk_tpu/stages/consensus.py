@@ -181,9 +181,9 @@ def dump_coverage(ds: DataSet, contigs, path: str, window: int = 1000,
 
 
 def dump_sam(ds: DataSet, contigs, path: str, names=None, W: int = 128,
-             max_reads: int | None = None):
+             max_reads: int | None = None, batch: int = 64):
     """{prefix}.sam — read-to-contig alignments re-derived from the chunk-space
-    anchors, refined by one banded global alignment per read span."""
+    anchors, refined by banded global alignments (batched per contig)."""
     from ..ops.banded_align import align_with_cigar_batch
     from ..ops.polish import effective_band
     per_contig = _read_anchors(ds, contigs)
@@ -198,37 +198,52 @@ def dump_sam(ds: DataSet, contigs, path: str, names=None, W: int = 128,
             aligns = per_contig.get(ci, [])
             if max_reads:
                 aligns = aligns[:max_reads]
+            entries = []
             for ri, sign, chain in aligns:
                 er = ds.encoded_reads[ri]
-                raw = er.recover_raw_read()
-                codes = seqmod.encode(raw)
+                codes = seqmod.encode(er.recover_raw_read())
                 rs = min(a[0] for a in chain)
                 re_ = max(a[1] for a in chain)
                 cs = min(a[2] for a in chain)
-                ce = max(a[3] for a in chain)
+                ce = min(max(a[3] for a in chain), len(cseq))
                 seg = codes[rs:re_]
                 if sign < 0:
                     seg = seqmod.revcomp(seg)
                 tpl = cseq[cs:ce]
-                if len(seg) < 32 or len(tpl) < 32:
+                if len(seg) < 32 or len(tpl) < 32 or \
+                        len(tpl) - len(seg) > len(tpl) // 3:
                     continue
-                band = effective_band(W, np.array([len(seg)]), len(tpl))
-                Qpad = ((len(seg) + 63) // 64) * 64
-                qp = np.full(Qpad, 4, np.int8)
-                qp[:len(seg)] = seg
-                try:
-                    offs = np.stack([linear_offsets(len(seg), len(tpl),
-                                                    Qpad, band)])
-                except AssertionError:
-                    continue
-                res = align_with_cigar_batch(
-                    qp[None], tpl[None], offs, np.array([len(seg)], np.int32),
-                    np.array([len(tpl)], np.int32), band, "global")
-                cigar = "".join(f"{l}{k}" for k, l in res["cigar"][0])
-                flag = 0 if sign > 0 else 16
-                seq_str = seqmod.decode(seg).decode()
-                f.write(f"{er.id}\t{flag}\t{name}\t{cs + 1}\t60\t{cigar}\t*"
-                        f"\t0\t0\t{seq_str}\t*\n")
+                entries.append((er.id, sign, seg, cs, tpl))
+            for s0 in range(0, len(entries), batch):
+                grp = entries[s0:s0 + batch]
+                Qpad = ((max(len(e[2]) for e in grp) + 127) // 128) * 128
+                Tpad = ((max(len(e[4]) for e in grp) + 127) // 128) * 128
+                q_lens = np.array([len(e[2]) for e in grp], np.int32)
+                t_lens = np.array([len(e[4]) for e in grp], np.int32)
+                deficit = int(np.max(t_lens - q_lens))
+                band = max(W, ((W // 2 + max(deficit, 0) + 63) // 64) * 64)
+                qs = np.full((len(grp), Qpad), 4, np.int8)
+                rs_arr = np.full((len(grp), Tpad), 4, np.int8)
+                offs = np.zeros((len(grp), Qpad + 1), np.int32)
+                ok = np.ones(len(grp), bool)
+                for b, (_id, _sg, seg, _cs, tpl) in enumerate(grp):
+                    qs[b, :len(seg)] = seg
+                    rs_arr[b, :len(tpl)] = tpl
+                    try:
+                        offs[b] = linear_offsets(len(seg), len(tpl), Qpad,
+                                                 band)
+                    except AssertionError:
+                        ok[b] = False
+                res = align_with_cigar_batch(qs, rs_arr, offs, q_lens,
+                                             t_lens, band, "global")
+                for b, (rid, sign, seg, cs, _tpl) in enumerate(grp):
+                    if not ok[b]:
+                        continue
+                    cigar = "".join(f"{l}{k}" for k, l in res["cigar"][b])
+                    flag = 0 if sign > 0 else 16
+                    seq_str = seqmod.decode(seg).decode()
+                    f.write(f"{rid}\t{flag}\t{name}\t{cs + 1}\t60\t{cigar}"
+                            f"\t*\t0\t0\t{seq_str}\t*\n")
 
 
 def polish_contigs(ds: DataSet, contigs, window: int = 2000,
