@@ -11,7 +11,8 @@ from __future__ import annotations
 def contigs_to_gfa(contigs, links=None, name_prefix: str = "tig") -> str:
     """contigs: list of dicts with 'seq' and 'summary'
     [(chunk, cluster, fwd, occ, copy)].  links: list of
-    (i, end_i ('+'/'-'), j, end_j)."""
+    (i, end_i ('+'/'-'), j, end_j, occ[, offset]) — a negative offset is a
+    known overlap of ``-offset`` bp, emitted as the L-line overlap CIGAR."""
     lines = ["H\tVN:Z:1.0"]
     for i, c in enumerate(contigs):
         summary = c.get("summary", [])
@@ -20,9 +21,12 @@ def contigs_to_gfa(contigs, links=None, name_prefix: str = "tig") -> str:
         lines.append(
             f"S\t{name_prefix}_{i:04d}\t{c['seq']}\tLN:i:{len(c['seq'])}"
             f"\tcv:i:{occ}\tcp:i:{cp}")
-    for (i, oi, j, oj, occ) in links or []:
+    for link in links or []:
+        i, oi, j, oj, occ = link[:5]
+        off = link[5] if len(link) > 5 else 0
+        ov = f"{-off}M" if off < 0 else "0M"
         lines.append(f"L\t{name_prefix}_{i:04d}\t{oi}\t{name_prefix}_{j:04d}"
-                     f"\t{oj}\t0M\tcv:i:{occ}")
+                     f"\t{oj}\t{ov}\tcv:i:{occ}")
     return "\n".join(lines) + "\n"
 
 

@@ -126,14 +126,16 @@ def _banded_edit(q, r, offsets, q_len, t_len, W: int, mode: str):
         # rows past q_len: freeze (propagate prev) so last-row gather is easy
         live = i <= q_len
         e = jnp.where(live, e, prev)
-        return e, (ptr, Lrow.astype(jnp.uint8))
+        # uint16: a LEFT run is bounded by the band width W, which can exceed
+        # 255 (wide bands for long indels) — uint8 would wrap and corrupt CIGARs
+        return e, (ptr, Lrow.astype(jnp.uint16))
 
     ii = np.arange(1, Q + 1, dtype=np.int32)
     shifts = offsets[1:] - offsets[:-1]
     inputs = (q, offsets[1:], shifts, ii)
     last, (ptrs, Ls) = jax.lax.scan(step, row0, inputs)
     ptrs = jnp.concatenate([np.zeros((1, W), np.uint8), ptrs], axis=0)
-    Ls = jnp.concatenate([np.zeros((1, W), np.uint8), Ls], axis=0)
+    Ls = jnp.concatenate([np.zeros((1, W), np.uint16), Ls], axis=0)
 
     if mode == "global":
         k_end = t_len - offsets[q_len]
@@ -182,7 +184,7 @@ def _traceback_on_device(ptrs, Ls, offsets, q_len, end_j, W: int):
         dj = jnp.where(is_diag, 1, 0)
         i_n = jnp.where(live, i - 1, i)
         j_n = jnp.where(live, j - l - dj, j)
-        out_l = jnp.where(live, l, 0).astype(jnp.uint8)
+        out_l = jnp.where(live, l, 0).astype(jnp.uint16)
         out_op = jnp.where(live, op, 0).astype(jnp.uint8)
         return (i_n, j_n), (out_l, out_op)
 
@@ -215,7 +217,7 @@ def _banded_align_cigar_batch(qs, rs, offsets, q_lens, t_lens, W: int,
     dv, di = jax.lax.top_k(dels.astype(jnp.int32), k)
     n_runs = jnp.sum((dels > 0).astype(jnp.int32), axis=1)
     return (score, end_j, start_j, ops_packed,
-            dv.astype(jnp.uint8), di.astype(jnp.uint16), n_runs)
+            dv.astype(jnp.uint16), di.astype(jnp.uint16), n_runs)
 
 
 _KM = {1: "M", 2: "I", 3: "D"}

@@ -78,7 +78,7 @@ def contig_links(g: DitchGraph, contigs):
                     continue
                 seen.add(key)
                 links.append((i, "+" if oi == "+" else "-", j,
-                              "-" if oj == "+" else "+", e.occ))
+                              "-" if oj == "+" else "+", e.occ, e.offset()))
     return links
 
 

@@ -51,19 +51,37 @@ def _read_anchors(ds: DataSet, contigs):
                     (rs, re_, t["start"], t["end"]))
         for (ci, sign), anchors in cands.items():
             anchors.sort()
-            # longest monotone chain in contig coords
-            chain = []
-            for a in anchors:
-                if not chain:
-                    chain.append(a)
-                    continue
-                if sign > 0 and a[2] >= chain[-1][2]:
-                    chain.append(a)
-                elif sign < 0 and a[2] <= chain[-1][2]:
-                    chain.append(a)
+            chain = _best_monotone_chain(anchors, sign)
             if len(chain) >= 1:
                 per_contig[ci].append((ri, sign, chain))
     return per_contig
+
+
+def _best_monotone_chain(anchors, sign):
+    """Max-weight monotone subsequence over contig coordinates (weight =
+    contig span), so a spurious first anchor (repeat hit) cannot lock the
+    chain to a wrong placement — counterpart of the reference's scored
+    chaining (consensus/mod.rs:734-845)."""
+    n = len(anchors)
+    if n <= 1:
+        return list(anchors)
+    w = [a[3] - a[2] for a in anchors]
+    best = list(w)
+    prev = [-1] * n
+    for i in range(n):
+        for j in range(i):
+            ok = (anchors[j][2] <= anchors[i][2]) if sign > 0 \
+                else (anchors[j][2] >= anchors[i][2])
+            if ok and best[j] + w[i] > best[i]:
+                best[i] = best[j] + w[i]
+                prev[i] = j
+    i = max(range(n), key=lambda t: best[t])
+    chain = []
+    while i != -1:
+        chain.append(anchors[i])
+        i = prev[i]
+    chain.reverse()
+    return chain
 
 
 def _window_segment(read_codes, sign, chain, w0, w1, margin):

@@ -113,6 +113,10 @@ def correct_clustering(ds: DataSet, repeat_num: int = 5,
             post = np.array([np.exp(c[0].posterior) for c in ctxs])
             if post.shape[1] > 0:
                 emb = np.concatenate([emb, post], axis=1)
+            # the reference normalizes COLUMNS (normalize_columns,
+            # phmm_likelihood_correction.rs:299) — not NJW row normalization —
+            # so the appended posterior features get equal scale to the
+            # eigenvector features; verified better on the minority-flip test
             emb = emb / (np.linalg.norm(emb, axis=0, keepdims=True) + 1e-9)
             asn = _kmeans_multi(emb, k, rng, restarts=20)
         old = np.array([ds.encoded_reads[ri].nodes[ni].cluster

@@ -46,18 +46,26 @@ def _dedup_nodes(nodes):
     out = []
     for n in nodes:
         drop = False
-        for m in out:
-            if m["chunk"] == n["chunk"] and m["is_forward"] == n["is_forward"] \
-                    and n["start"] < m["end"]:
-                # slippy duplicate: keep the better one
-                if n["dist"] < m["dist"]:
-                    out.remove(m)
-                else:
-                    drop = True
-                break
-            if m["start"] <= n["start"] and n["end"] <= m["end"]:
-                drop = True  # contained
-                break
+        conflict = True
+        # after evicting a worse duplicate, re-scan the survivor against the
+        # remaining kept nodes — mutually overlapping encodings must not
+        # survive just because the first conflict was resolved in n's favour
+        while conflict and not drop:
+            conflict = False
+            for m in out:
+                if m["chunk"] == n["chunk"] \
+                        and m["is_forward"] == n["is_forward"] \
+                        and n["start"] < m["end"]:
+                    # slippy duplicate: keep the better one
+                    if n["dist"] < m["dist"]:
+                        out.remove(m)
+                        conflict = True
+                    else:
+                        drop = True
+                    break
+                if m["start"] <= n["start"] and n["end"] <= m["end"]:
+                    drop = True  # contained
+                    break
         if not drop:
             out.append(n)
     return sorted(out, key=lambda n: n["start"])

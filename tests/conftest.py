@@ -1,11 +1,24 @@
-"""Test configuration: force CPU.
+"""Test configuration: force CPU + persistent compilation cache.
 
 Note: we deliberately do NOT set xla_force_host_platform_device_count here —
 with 8 virtual devices the first MLIR lowering in the process takes ~2min
 (vs ~25s with 1 device).  Sharding tests (tests/test_parallel.py) spawn
 subprocesses with the flag set explicitly.
+
+The persistent compilation cache (.jax_cache, shared with bench.py) cuts
+repeat test runs from ~26 min to a few minutes: most test shapes are stable
+across runs, so recompiles become cache hits.
 """
 
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+
+
+def pytest_configure(config):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

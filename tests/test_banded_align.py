@@ -131,6 +131,28 @@ def test_device_traceback_matches_host():
             assert int(res["score"][b]) == oscore, (mode, b)
 
 
+def test_long_deletion_run_no_uint8_wrap():
+    """Regression (ADVICE r1): a contiguous deletion run >255 bp must survive
+    the device traceback intact — run lengths were uint8 and wrapped."""
+    from jtk_tpu.ops.banded_align import align_with_cigar_batch
+    rng = np.random.default_rng(9)
+    W = 512
+    r = rng.integers(0, 4, size=900).astype(np.int8)
+    q = np.concatenate([r[:250], r[250 + 400:]])  # 400 bp deletion
+    Q = 520
+    off = linear_offsets(len(q), len(r), Q, W)
+    qp = np.full(Q, 4, np.int8); qp[:len(q)] = q
+    res = align_with_cigar_batch(qp[None], r[None], off[None],
+                                 np.array([len(q)]), np.array([len(r)]),
+                                 W, "global")
+    assert int(res["score"][0]) == 400
+    _check_cigar(q, r, res["cigar"][0], 400, 0, len(r))
+    # the uint8 wrap produced cost 402 != score with a phantom 1bp insertion;
+    # co-optimal fragmentation of the run is fine, phantom I/M costs are not
+    assert not any(k == "I" for k, _ in res["cigar"][0]), res["cigar"][0]
+    assert sum(l for k, l in res["cigar"][0] if k == "D") == 400
+
+
 def test_band_offsets_shapes():
     off = linear_offsets(100, 120, 140, 64)
     assert off.shape == (141,)
