@@ -153,75 +153,557 @@ class DitchGraph:
             self._adj.pop((node, plug), None)
         self.nodes.pop(node, None)
 
-    def remove_lightweight_edges(self, thr: int, keep_sole: bool = True):
-        """Remove edges with occ <= thr unless they are the only connection of
-        both endpoints (ditch_graph/mod.rs:1809-1841)."""
-        removed = 0
-        for key in list(self.edges.keys()):
-            e = self.edges.get(key)
-            if e is None or e.occ > thr:
+    def half_edges(self, node, plug):
+        """Directed view: [(key, edge, to_node, to_plug)] leaving (node, plug)."""
+        out = []
+        for k in list(self._adj[(node, plug)]):
+            e = self.edges.get(k)
+            if e is None:
                 continue
-            if keep_sole:
-                d1 = len(self._adj[(e.from_node, e.from_plug)])
-                d2 = len(self._adj[(e.to_node, e.to_plug)])
-                if d1 <= 1 and d2 <= 1:
-                    continue
-                # keep the heaviest edge at a plug
-                occ1 = max(x.occ for x in self.edges_at(e.from_node, e.from_plug))
-                occ2 = max(x.occ for x in self.edges_at(e.to_node, e.to_plug))
-                if e.occ == occ1 and e.occ == occ2:
-                    continue
-            self.remove_edge(key)
-            removed += 1
-        return removed
+            to_n, to_p = self.other_end(e, node, plug)
+            out.append((k, e, to_n, to_p))
+        return out
 
-    def remove_tips(self, frac: float = 0.2, max_len: int = 2):
-        """Remove short dead-end paths with weak support
-        (ditch_graph/mod.rs:1384-1423 is coverage-based; here a tip is a node
-        whose occ < frac * neighborhood occ and which dead-ends within
-        ``max_len`` nodes)."""
-        removed = 0
-        changed = True
-        while changed:
-            changed = False
-            for node in list(self.nodes.keys()):
-                dn = self.nodes.get(node)
+    def remove_lightweight_edges(self, thr: int, retain_single_edge: bool = True):
+        """Remove edges with occ <= thr at branching plugs
+        (ditch_graph/mod.rs:1809-1841): only plugs with >=2 edges are
+        considered, and with ``retain_single_edge`` the far endpoint must
+        keep an alternative edge with occ > thr."""
+        removed_keys = set()
+        for node in list(self.nodes.keys()):
+            for plug in (HEAD, TAIL):
+                hs = self.half_edges(node, plug)
+                if len(hs) <= 1:
+                    continue
+                for k, e, to_n, to_p in hs:
+                    if e.occ > thr:
+                        continue
+                    if retain_single_edge:
+                        is_safe = any(f.occ > thr
+                                      for f in self.edges_at(to_n, to_p))
+                        if not is_safe:
+                            continue
+                    removed_keys.add(k)
+        for k in removed_keys:
+            self.remove_edge(k)
+        return len(removed_keys)
+
+    def local_coverage(self, node, plug, diag: int) -> float:
+        """Average per-copy coverage within ``diag`` steps away from the
+        dead-end plug (ditch_graph/mod.rs:1404-1423)."""
+        total_cov, total_copy = 0, 0
+        current = [(node, plug)]
+        for _ in range(diag):
+            nxt = set()
+            for n, p in current:
+                dn = self.nodes.get(n)
                 if dn is None:
                     continue
-                h = self.edges_at(node, HEAD)
-                t = self.edges_at(node, TAIL)
-                if h and t:
-                    continue  # not a dead end
-                plug_edges = h or t
-                if not plug_edges:
-                    continue
-                # neighborhood occupancy
-                nb_occ = []
-                for e in plug_edges:
-                    on, op = self.other_end(e, node, HEAD if h else TAIL)
-                    sibs = self.edges_at(on, op)
-                    nb_occ.extend(x.occ for x in sibs)
-                if nb_occ and dn.occ < frac * max(nb_occ):
-                    self.remove_node(node)
-                    removed += 1
-                    changed = True
-        return removed
+                total_cov += dn.occ
+                total_copy += dn.copy_num if dn.copy_num is not None else 1
+                other = TAIL if p == HEAD else HEAD
+                for _k, _e, tn, tp in self.half_edges(n, other):
+                    nxt.add((tn, tp))
+            current = sorted(nxt)
+        return total_cov / max(total_copy, 1)
 
-    def remove_zero_copy_elements(self):
-        """Drop nodes/edges whose assigned copy number is 0 when removal keeps
-        neighbours connected (ditch_graph/mod.rs:893-1033, simplified)."""
-        for key in list(self.edges.keys()):
-            e = self.edges.get(key)
-            if e is None or e.copy_num != 0:
+    def remove_tips(self, thr: float = 0.8, diag: int = 4):
+        """Remove zero-copy dead-end nodes whose occ is below ``thr`` times
+        the local per-copy coverage (ditch_graph/mod.rs:1384-1401)."""
+        to_remove = []
+        for node, dn in self.nodes.items():
+            if dn.copy_num != 0:
                 continue
-            d1 = len(self._adj[(e.from_node, e.from_plug)])
-            d2 = len(self._adj[(e.to_node, e.to_plug)])
-            if d1 > 1 or d2 > 1:
-                self.remove_edge(key)
+            for plug in (HEAD, TAIL):
+                if not self.half_edges(node, plug):
+                    cov = self.local_coverage(node, plug, diag)
+                    if dn.occ < cov * thr:
+                        to_remove.append(node)
+                    break
+        for node in to_remove:
+            self.remove_node(node)
+        return len(to_remove)
+
+    def remove_zero_copy_elements(self, thr: float = 0.8):
+        """Remove zero-copy edges that are weak relative to their plug's
+        strongest edge (ditch_graph/mod.rs:893-952).  Nodes whose head/tail
+        edge-copy sums disagree ("unsound" estimates) protect all their
+        edges; isolated zero-copy nodes are dropped."""
+        unsound = set()
+        for node in self.nodes:
+            sums = [0, 0]
+            for plug in (HEAD, TAIL):
+                for _k, e, _tn, _tp in self.half_edges(node, plug):
+                    if e.copy_num is not None:
+                        sums[plug] += e.copy_num
+            h, t = sums
+            if h != 0 and t != 0 and h != t:
+                unsound.add(node)
+        ok_to_remove, retain = set(), set()
+        for node in self.nodes:
+            if node in unsound:
+                for plug in (HEAD, TAIL):
+                    for k, _e, _tn, _tp in self.half_edges(node, plug):
+                        retain.add(k)
+                continue
+            for plug in (HEAD, TAIL):
+                hs = self.half_edges(node, plug)
+                mx = max((e.occ for _k, e, _t, _p in hs), default=0)
+                for k, e, _tn, _tp in hs:
+                    if e.copy_num == 0 and e.occ < thr * max(mx, 1):
+                        ok_to_remove.add(k)
+                    else:
+                        retain.add(k)
+        for k in ok_to_remove - retain:
+            self.remove_edge(k)
         for node in list(self.nodes.keys()):
             dn = self.nodes[node]
-            if dn.copy_num == 0:
+            if dn.copy_num == 0 and not self.half_edges(node, HEAD) \
+                    and not self.half_edges(node, TAIL):
                 self.remove_node(node)
+
+    # ---------------- path walking ----------------
+
+    def destination(self, to_node, to_plug):
+        """Terminal (node, plug) of the simple path entered at (to_node,
+        to_plug) (ditch_graph/mod.rs:1250-1282)."""
+        cur, pos = to_node, to_plug
+        seen = set()
+        while True:
+            if (cur, pos) in seen:
+                break
+            seen.add((cur, pos))
+            indeg = len(self.half_edges(cur, pos))
+            if indeg > 1:
+                break
+            pos = TAIL if pos == HEAD else HEAD
+            outs = self.half_edges(cur, pos)
+            if len(outs) != 1:
+                break
+            _k, _e, cur, pos = outs[0]
+        return cur, pos
+
+    def simple_path_from(self, to_node, to_plug):
+        """Consumed nodes of the simple path entered at (to_node, to_plug)
+        (ditch_graph/mod.rs:1286-1325)."""
+        start = to_node
+        cur, pos = to_node, to_plug
+        nodes = []
+        while True:
+            if len(self.half_edges(cur, pos)) > 1:
+                break
+            pos = TAIL if pos == HEAD else HEAD
+            nodes.append(cur)
+            outs = self.half_edges(cur, pos)
+            if len(outs) != 1:
+                break
+            _k, _e, nxt, npos = outs[0]
+            if nxt == start:
+                break
+            cur, pos = nxt, npos
+        return nodes
+
+    def simple_path_and_dest(self, start_node, position):
+        """((node, pos) list of the simple path, destinations after it)
+        (ditch_graph/mod.rs:1331-1378)."""
+        node, pos = start_node, position
+        nodes = []
+        while True:
+            nodes.append((node, pos))
+            pos = TAIL if pos == HEAD else HEAD
+            outs = self.half_edges(node, pos)
+            if len(outs) != 1:
+                break
+            _k, _e, to_n, to_p = outs[0]
+            if len(self.half_edges(to_n, to_p)) > 1 or to_n == start_node:
+                break
+            node, pos = to_n, to_p
+        dests = sorted((to_n, to_p)
+                       for _k, _e, to_n, to_p in self.half_edges(node, pos))
+        return nodes, dests
+
+    # ---------------- zero-copy path removal ----------------
+
+    def remove_edge_and_pruning(self, from_np, to_np):
+        """Remove the edge and recursively prune newly-orphaned zero-copy
+        nodes (ditch_graph/mod.rs:1480-1508)."""
+        fn_, fp = from_np
+        tn, tp = to_np
+        for k, _e, on, op in self.half_edges(fn_, fp):
+            if (on, op) == (tn, tp):
+                self.remove_edge(k)
+                break
+        dn = self.nodes.get(tn)
+        if dn is None:
+            return
+        if dn.copy_num == 0 and not self.half_edges(tn, tp):
+            other = TAIL if tp == HEAD else HEAD
+            targets = [(on, op) for _k, _e, on, op in self.half_edges(tn, other)]
+            for np_ in targets:
+                self.remove_edge_and_pruning((tn, other), np_)
+            if tn in self.nodes:
+                self.remove_node(tn)
+
+    def remove_zero_copy_path(self, thr: float):
+        """Remove zero-copy branch paths whose destinations are a subset of
+        their non-zero siblings' destinations and whose coverage ratio is
+        below ``thr`` (ditch_graph/mod.rs:957-1032; NB the reference guards
+        the loop body with an inverted is_deleted check that makes it a
+        no-op — implemented here with the evidently intended semantics)."""
+        parents = []
+        for node, dn in self.nodes.items():
+            if not dn.copy_num:
+                continue
+            for plug in (HEAD, TAIL):
+                hs = self.half_edges(node, plug)
+                if len(hs) < 2:
+                    continue
+                if any(self.nodes.get(tn) is not None
+                       and self.nodes[tn].copy_num == 0
+                       for _k, _e, tn, _tp in hs):
+                    parents.append((node, plug))
+        for node, plug in parents:
+            if node not in self.nodes:
+                continue
+            hs = self.half_edges(node, plug)
+            if len(hs) <= 1:
+                continue
+            zc = [(k, e, tn, tp) for k, e, tn, tp in hs
+                  if self.nodes.get(tn) is not None
+                  and self.nodes[tn].copy_num == 0]
+            nzc = [(k, e, tn, tp) for k, e, tn, tp in hs
+                   if not (self.nodes.get(tn) is not None
+                           and self.nodes[tn].copy_num == 0)]
+            if not zc or not nzc:
+                continue
+            zc_dests = {d[0] for _k, _e, tn, tp in zc
+                        for d in self.simple_path_and_dest(tn, tp)[1]}
+            nzc_dests = {d[0] for _k, _e, tn, tp in nzc
+                         for d in self.simple_path_and_dest(tn, tp)[1]}
+            zc_max = max(self.nodes[tn].occ for _k, _e, tn, _tp in zc)
+            nzc_max = max((self.nodes[tn].occ for _k, _e, tn, _tp in nzc
+                           if tn in self.nodes), default=0)
+            ratio = zc_max / nzc_max if nzc_max else 1.0
+            if zc_dests <= nzc_dests and ratio < thr:
+                for _k, _e, tn, tp in zc:
+                    self.remove_edge_and_pruning((node, plug), (tn, tp))
+
+    # ---------------- transitive / z-edge cleanup ----------------
+
+    def transitive_edge_reduction(self):
+        """Remove zero-copy edges that are transitive: from (n, p) both to X
+        directly and via a sibling edge whose endpoint also reaches X
+        (ditch_graph/mod.rs:1034-1075)."""
+        removed = set()
+        for node in list(self.nodes.keys()):
+            for plug in (HEAD, TAIL):
+                hs = self.half_edges(node, plug)
+                if len(hs) <= 1:
+                    continue
+                for k, e, tn, tp in hs:
+                    if e.copy_num != 0:
+                        continue
+                    for _k2, _e2, mn, mp in hs:
+                        if (mn, mp) == (tn, tp):
+                            continue
+                        hop = TAIL if mp == HEAD else HEAD
+                        if any((gn, gp) == (tn, tp)
+                               for _k3, _e3, gn, gp in self.half_edges(mn, hop)):
+                            removed.add(k)
+                            break
+        for k in removed:
+            self.remove_edge(k)
+        return len(removed)
+
+    def _can_select(self, from_np, to_np):
+        """True if keeping only this edge at ``from_np`` cannot disconnect a
+        sibling that has no other parent (ditch_graph/mod.rs:1781-1806)."""
+        fn_, _fp = from_np
+        tn, tp = to_np
+        for _k, _e, sn, sp in self.half_edges(tn, tp):
+            if sn == fn_:
+                continue
+            only_parent = all((cn, cp) == (tn, tp)
+                              for _k2, _e2, cn, cp in self.half_edges(sn, sp))
+            if only_parent:
+                return False
+        return True
+
+    def z_edge_selection(self):
+        """At plugs mixing selectable and non-selectable edges, drop the
+        non-selectable ones (Z-shaped crossings, ditch_graph/mod.rs:
+        1747-1778)."""
+        removed, retained = set(), set()
+        for node in list(self.nodes.keys()):
+            for plug in (HEAD, TAIL):
+                hs = self.half_edges(node, plug)
+                flags = [self._can_select((node, plug), (tn, tp))
+                         for _k, _e, tn, tp in hs]
+                n_sel = sum(flags)
+                if 0 < n_sel < len(flags):
+                    for (k, _e, _tn, _tp), f in zip(hs, flags):
+                        (retained if f else removed).add(k)
+        for k in removed - retained:
+            self.remove_edge(k)
+        return len(removed - retained)
+
+    # ---------------- overclustering zips ----------------
+
+    def zip_up_overclustering(self, max_len: int = 2):
+        """Remove one branch of a copy-1 fork whose two arms reconverge at
+        the same destination within ``max_len`` nodes
+        (ditch_graph/mod.rs:1078-1115)."""
+        to_remove = set()
+        for node, dn in list(self.nodes.items()):
+            if dn.copy_num != 1 or node in to_remove:
+                continue
+            for plug in (HEAD, TAIL):
+                hs = [(k, e, tn, tp)
+                      for k, e, tn, tp in self.half_edges(node, plug)
+                      if tn not in to_remove]
+                if len(hs) != 2:
+                    continue
+                d0 = self.destination(hs[0][2], hs[0][3])
+                d1 = self.destination(hs[1][2], hs[1][3])
+                if d0 != d1:
+                    continue
+                _k, _e, tn, tp = max(hs, key=lambda h: h[1].occ)
+                path = self.simple_path_from(tn, tp)
+                if len(path) <= max_len:
+                    to_remove.update(path)
+        for n in to_remove:
+            self.remove_node(n)
+        return len(to_remove)
+
+    def get_reflex_nodes(self, node, position, cut: int = 6):
+        """Reflexive parents/siblings closure of (node, position)
+        (ditch_graph/mod.rs:1216-1248)."""
+        sibs = [(node, position)]
+        parents = []
+        for _ in range(cut):
+            par_len = len(parents)
+            parents = sorted({(tn, tp) for n, p in sibs
+                              for _k, _e, tn, tp in self.half_edges(n, p)})
+            sib_len = len(sibs)
+            sibs = sorted({(tn, tp) for n, p in parents
+                           for _k, _e, tn, tp in self.half_edges(n, p)})
+            if sib_len == len(sibs) or par_len == len(parents):
+                break
+        return parents, sibs
+
+    def _merge_into(self, retain, victim):
+        """Move all of ``victim``'s edges/occ/copy onto ``retain`` and delete
+        it (zip_up_overclustering_dev merging, mod.rs:1117-1163)."""
+        rn = self.nodes[retain]
+        vn = self.nodes[victim]
+        rn.occ += vn.occ
+        if rn.copy_num is not None:
+            rn.copy_num += vn.copy_num or 0
+        moves = []
+        for plug in (HEAD, TAIL):
+            for k, e, tn, tp in self.half_edges(victim, plug):
+                # labels stored in the edge's canonical direction; orient them
+                # victim->tn before re-anchoring
+                labs = e.labels if (e.from_node, e.from_plug) == (victim, plug) \
+                    else [_rc(l) for l in e.labels]
+                if tn == victim:  # self-loop becomes retain self-loop
+                    tn = retain
+                moves.append((plug, tn, tp, list(e.offsets), labs,
+                              e.occ, e.copy_num))
+                self.remove_edge(k)
+        self.remove_node(victim)
+        for plug, tn, tp, offs, labs, occ, cp in moves:
+            key, _off, _lab, flipped = edge_canonical(
+                retain, plug, tn, tp, 0, "")
+            if key not in self.edges:
+                self.edges[key] = DEdge(key[0], key[1], key[2], key[3])
+                self._adj[(key[0], key[1])].add(key)
+                self._adj[(key[2], key[3])].add(key)
+            e = self.edges[key]
+            e.occ += occ
+            e.offsets.extend(offs)
+            if flipped:
+                labs = [_rc(l) for l in labs]
+            e.labels.extend(labs)
+            if cp is not None:
+                e.copy_num = (e.copy_num or 0) + cp
+
+    def zip_up_overclustering_dev(self):
+        """Merge sibling nodes of a net-like structure whose both sides see a
+        single parent chunk and pairwise-matching sibling chunks
+        (ditch_graph/mod.rs:1117-1213)."""
+        merged = 0
+        for node in sorted(self.nodes.keys()):
+            if node not in self.nodes:
+                continue
+            # self-loop nodes are repeats, not overclustering
+            if any(tn == node
+                   for plug in (HEAD, TAIL)
+                   for _k, _e, tn, _tp in self.half_edges(node, plug)):
+                continue
+            res = self._zippable(node)
+            if res is None:
+                continue
+            retain, sibs = res
+            for s in sibs:
+                if s in self.nodes and retain in self.nodes:
+                    self._merge_into(retain, s)
+                    merged += 1
+        return merged
+
+    def _zippable(self, node):
+        t_par, t_sibs = self.get_reflex_nodes(node, TAIL, 6)
+        h_par, h_sibs = self.get_reflex_nodes(node, HEAD, 6)
+        if max(len(t_sibs), len(h_sibs)) <= 1:
+            return None
+        if not h_par or not t_par:
+            return None
+
+        def chunk_pos(np_):
+            return (np_[0][0], np_[1])
+
+        if any(chunk_pos(p) != chunk_pos(t_par[0]) for p in t_par):
+            return None
+        if any(chunk_pos(p) != chunk_pos(h_par[0]) for p in h_par):
+            return None
+        if len(t_sibs) != len(h_sibs):
+            return None
+        if any(a[0][0] != b[0][0] for a, b in zip(t_sibs, h_sibs)):
+            return None
+        sibs = sorted({n for n, _p in t_sibs},
+                      key=lambda n: self.nodes[n].occ if n in self.nodes else 0)
+        if len(sibs) <= 1:
+            return None
+        retain = sibs.pop()
+        return retain, sibs
+
+    # ---------------- bubbles / nets ----------------
+
+    def collapse_bubble(self):
+        """Merge multi-edges from one plug that all reach nodes of the same
+        chunk (at the same side) whose only parent is this plug
+        (ditch_graph/mod.rs:1539-1690)."""
+        from collections import deque
+        queue = deque()
+        for node in list(self.nodes.keys()):
+            queue.append((node, HEAD))
+            queue.append((node, TAIL))
+        collapsed = 0
+        while queue:
+            node, plug = queue.popleft()
+            if node not in self.nodes:
+                continue
+            hs = self.half_edges(node, plug)
+            if len(hs) <= 1:
+                continue
+            t0_chunk, t0_pos = hs[0][2][0], hs[0][3]
+            if not all(tp == t0_pos and tn[0] == t0_chunk
+                       for _k, _e, tn, tp in hs):
+                continue
+            ok = True
+            for _k, _e, tn, tp in hs:
+                for _k2, _e2, pn, pp in self.half_edges(tn, tp):
+                    if (pn, pp) != (node, plug):
+                        ok = False
+            if not ok:
+                continue
+            # merge all children into the max-occ ("primary") one
+            hs.sort(key=lambda h: h[1].occ)
+            total_occ = sum(h[1].occ for h in hs)
+            pk, pe, primary, primary_pos = hs[-1]
+            pe.occ = total_occ
+            far = TAIL if primary_pos == HEAD else HEAD
+            for _k, _e, sec, sec_pos in hs[:-1]:
+                if sec in self.nodes and primary in self.nodes:
+                    # drop the root->sec edge first so it is not re-anchored
+                    for k2, _e2, tn2, tp2 in self.half_edges(sec, sec_pos):
+                        if (tn2, tp2) == (node, plug):
+                            self.remove_edge(k2)
+                    # move far-side edges onto the primary, then delete
+                    self.nodes[primary].occ += self.nodes[sec].occ
+                    if self.nodes[primary].copy_num is not None:
+                        self.nodes[primary].copy_num += \
+                            self.nodes[sec].copy_num or 0
+                    for k2, e2, tn2, tp2 in self.half_edges(
+                            sec, TAIL if sec_pos == HEAD else HEAD):
+                        off = e2.offset()
+                        lab = e2.label()
+                        if (e2.from_node, e2.from_plug) != \
+                                (sec, TAIL if sec_pos == HEAD else HEAD):
+                            lab = _rc(lab)
+                        occ2, cp2 = e2.occ, e2.copy_num
+                        self.remove_edge(k2)
+                        key, off_c, lab_c, _fl = edge_canonical(
+                            primary, far, tn2, tp2, off, lab)
+                        if key not in self.edges:
+                            self.edges[key] = DEdge(key[0], key[1],
+                                                    key[2], key[3])
+                            self._adj[(key[0], key[1])].add(key)
+                            self._adj[(key[2], key[3])].add(key)
+                        e3 = self.edges[key]
+                        e3.occ += occ2
+                        e3.offsets.append(off_c)
+                        e3.labels.append(lab_c)
+                        if cp2 is not None:
+                            e3.copy_num = (e3.copy_num or 0) + cp2
+                    self.remove_node(sec)
+                    collapsed += 1
+            queue.append((primary, far))
+        return collapsed
+
+    def squish_small_net(self, max_len: int = 3):
+        """Squish X-crossed short simple paths between long contigs: keep one
+        of the crossing small paths (squish_graph.rs:16-95)."""
+        from .copy_number import reduce_simple_path
+        node_to_pathid, path_nodes, conv_edges, _et, _ip = \
+            reduce_simple_path(self)
+        P = len(path_nodes)
+        slots = [[[], []] for _ in range(P)]
+        for fp, fdir, tp, tdir, _occ in conv_edges:
+            slots[fp][int(fdir)].append((tp, int(tdir)))
+            slots[tp][int(tdir)].append((fp, int(fdir)))
+        for s in slots:
+            s[0].sort()
+            s[1].sort()
+        sizes = [n for _w, n in path_nodes]
+
+        def is_net(frm, slot):
+            children = slots[frm][slot]
+            if len(children) <= 1:
+                return None
+            if any(sizes[c] > max_len for c, _s in children):
+                return None
+            c0, c0s = children[0]
+            sib = slots[c0][c0s]
+            if len(sib) <= 1:
+                return None
+            if any(slots[c][s] != sib for c, s in children):
+                return None
+            dest = slots[c0][1 - c0s]
+            if any(sizes[d] <= max_len for d, _s in dest):
+                return None
+            if any(slots[c][1 - s] != dest for c, s in children):
+                return None
+            return [c for c, _s in children]
+
+        groups = []
+        for i in range(P):
+            if sizes[i] <= max_len:
+                continue
+            for slot in (0, 1):
+                got = is_net(i, slot)
+                if got:
+                    groups.append(got)
+        seen_groups = []
+        for grp in sorted(map(tuple, groups)):
+            if grp not in seen_groups:
+                seen_groups.append(grp)
+        drop_paths = {p for grp in seen_groups for p in grp[1:]}
+        to_remove = [n for n, pid in node_to_pathid.items()
+                     if pid in drop_paths]
+        for n in to_remove:
+            self.remove_node(n)
+        return len(to_remove)
 
     def connected_components(self):
         from .find_union import FindUnion

@@ -26,28 +26,48 @@ def build_graph(ds: DataSet, lightweight_frac: float = 0.15) -> DitchGraph:
     g = DitchGraph.from_encoded_reads(ds.encoded_reads, chunk_seqs)
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     thr = max(1, int(lightweight_frac * cov))
-    g.remove_lightweight_edges(thr)
+    # assemble/mod.rs:180-181: aggressive low pass first, then the retain-
+    # single-edge pass at the full threshold
+    g.remove_lightweight_edges(thr // 2 + 1, False)
+    g.remove_lightweight_edges(thr, True)
     return g
 
 
 def clean_up_graph_for_assemble(g: DitchGraph, cov: float,
                                 encoded_reads=None, min_span: int = 2,
                                 min_llr: float = 1.0) -> None:
-    """ditch_graph/mod.rs:645-701: copy-number assignment, zero-copy/tip
-    removal, and the LLR-threshold loop of focus-based repeat resolution."""
+    """ditch_graph/mod.rs:645-701 cleanup sequence: copy-number assignment,
+    tip removal, the descending-LLR loop of {zero-copy removal, focus repeat
+    resolution, overclustering zip}, then net squishing, sibling merging and
+    a final weak-focus pass."""
+    from ..graph.foci import resolve_repeats
     assign_copy_numbers(g, cov)
-    g.remove_zero_copy_elements()
-    g.remove_tips()
+    g.remove_tips(0.8, 4)
+    g.remove_tips(0.8, 4)
+    # descending LLR thresholds: resolve confident foci first
+    llrs = [float(i) + 1e-5
+            for i in range(int(10.0 + min_llr) - 1, int(min_llr) - 1, -1)
+            if float(i) + 1e-5 > min_llr]
+    for llr in llrs:
+        assign_copy_numbers(g, cov)
+        g.remove_zero_copy_elements(0.8)
+        g.remove_zero_copy_path(0.1)
+        if encoded_reads is not None:
+            resolve_repeats(g, encoded_reads, min_span=min_span, llr_thr=llr)
+        g.zip_up_overclustering(2)
     assign_copy_numbers(g, cov)
+    g.remove_zero_copy_elements(0.9)
+    g.remove_zero_copy_path(0.3)
+    g.remove_lightweight_edges(0, True)
+    g.remove_tips(0.8, 4)
+    g.squish_small_net(3)
+    assign_copy_numbers(g, cov)
+    g.zip_up_overclustering_dev()
     if encoded_reads is not None:
-        from ..graph.foci import resolve_repeats
-        for llr in (10.0, 4.0, max(min_llr, 0.1)):
-            n = resolve_repeats(g, encoded_reads, min_span=min_span,
-                                llr_thr=llr)
-            if n:
-                assign_copy_numbers(g, cov)
-        g.remove_zero_copy_elements()
-        g.remove_tips()
+        for llr in llrs:
+            resolve_repeats(g, encoded_reads, min_span=min_span, llr_thr=llr)
+    assign_copy_numbers(g, cov)
+    g.remove_zero_copy_elements(100.0)
 
 
 def contig_links(g: DitchGraph, contigs):

@@ -24,7 +24,16 @@ def estimate_multiplicity(ds: DataSet, thr: int = 3, draft_gfa: str | None = Non
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     chunk_seqs = {c.id: c.seq for c in ds.selected_chunks}
     g = DitchGraph.from_encoded_reads(ds.encoded_reads, chunk_seqs)
-    g.remove_lightweight_edges(thr)
+    # multiplicity_estimation.rs:41-50: low aggressive pass, then the full
+    # threshold — keep the harsher graph only if it stays connected
+    thr = max(int(round(0.15 * cov)), thr)
+    g.remove_lightweight_edges(max(thr // 2 + 1, 1), False)
+    import copy as _copy
+    old = _copy.deepcopy(g)
+    old.remove_lightweight_edges(thr, True)
+    g.remove_lightweight_edges(thr, False)
+    if len(g.connected_components()) != 1:
+        g = old
     assign_copy_numbers(g, cov)
     # per-chunk copy number = sum over its clusters, min 1
     per_chunk: dict[int, int] = {}

@@ -21,7 +21,8 @@ def pick_top_n_component(ds: DataSet, component_num: int = 1) -> DataSet:
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     chunk_seqs = {c.id: c.seq for c in ds.selected_chunks}
     g = DitchGraph.from_encoded_reads(ds.encoded_reads, chunk_seqs)
-    g.remove_lightweight_edges(max(1, int(0.08 * cov)), keep_sole=False)
+    g.remove_lightweight_edges(max(1, int(0.08 * cov)),
+                               retain_single_edge=True)
     comps = g.connected_components()
     comps.sort(key=len, reverse=True)
     keep_chunks = set()

@@ -115,5 +115,9 @@ def test_lightweight_edge_removal():
     reads.append(_mk_read(99, [(0, 0), (2, 0)], chunk_seqs))
     g = DitchGraph.from_encoded_reads(reads, chunk_seqs)
     assert len(g.edges) == 2
-    g.remove_lightweight_edges(1)
+    # retain mode keeps the spur (it is (2,0)'s only edge) ...
+    g.remove_lightweight_edges(1, True)
+    assert len(g.edges) == 2
+    # ... the non-retain pass removes it
+    g.remove_lightweight_edges(1, False)
     assert len(g.edges) == 1
