@@ -169,3 +169,49 @@ def test_cli_parser_covers_subcommands():
                 "squish", "assemble", "polish", "pipeline"}
     assert expected <= subs
     assert len(expected) == 18
+
+
+def test_coverage_calibrator():
+    from jtk_tpu.graph.coverage import CoverageCalibrator
+    c = CoverageCalibrator([100] * 10)
+    # zero-length gap: factor = mean length -> calib is identity
+    assert abs(c.calib(10, 0) - 10.0) < 1e-9
+    # gap of 50: each 100bp read spans it at 50 positions -> scale x2
+    assert abs(c.calib(10, 50) - 20.0) < 1e-9
+    # gap longer than every read: unspannable
+    assert c.calib(10, 150) == 0.0
+    assert abs(c.prob_spanning(0) - 1.0) < 1e-9
+    assert abs(c.prob_spanning(50) - 0.5) < 1e-9
+
+
+def test_remove_erroneous_nodes_drops_weak_edge_node():
+    from jtk_tpu.stages.remove_erroneous import remove_erroneous_nodes
+    from jtk_tpu.datamodel import Edge
+    ds = DataSet.with_minimum_data("x.fa", [], ReadType.ONT)
+    for cid in range(11):
+        ds.selected_chunks.append(Chunk(cid, "ACGT" * 50, 1, 1))
+
+    def mk(rid, chunks):
+        nodes = []
+        pos = 0
+        for ch in chunks:
+            n = Node.new(ch, True, "ACGT" * 50, [("M", 200)], pos, 1)
+            nodes.append(n)
+            pos += 200
+        seq = "ACGT" * 50 * len(chunks)
+        edges = [Edge.from_nodes(a, b, seq)
+                 for a, b in zip(nodes, nodes[1:])]
+        ds.raw_reads.append(RawRead(f"r{rid}", "", rid, seq))
+        return EncodedRead(rid, len(seq), "", "", edges, nodes)
+
+    rid = 0
+    # strong backbone chain 0..9 (so the quartile pivot is high), plus one
+    # misencoded read routing through chunk 10 between strong 0-1 evidence
+    for _ in range(20):
+        ds.encoded_reads.append(mk(rid, list(range(10)))); rid += 1
+    ds.encoded_reads.append(mk(rid, [0, 10, 1])); rid += 1
+    remove_erroneous_nodes(ds)
+    # the chunk-10 occurrence is removed from the read, read stays lossless
+    bad = [er for er in ds.encoded_reads
+           if any(n.chunk == 10 for n in er.nodes)]
+    assert not bad
