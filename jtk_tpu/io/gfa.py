@@ -27,12 +27,23 @@ def contigs_to_gfa(contigs, links=None, name_prefix: str = "tig") -> str:
         ov = f"{-off}M" if off < 0 else "0M"
         lines.append(f"L\t{name_prefix}_{i:04d}\t{oi}\t{name_prefix}_{j:04d}"
                      f"\t{oj}\t{ov}\tcv:i:{occ}")
+    # U-groups: contigs grouped by copy number (the reference's GFA2
+    # UnorderedGroup records with uid "cp:i:{cp}", assemble/mod.rs:242-249)
+    by_cp: dict[int, list] = {}
+    for i, c in enumerate(contigs):
+        summary = c.get("summary", [])
+        cp = int(round(sum(s[4] for s in summary) / max(len(summary), 1))) \
+            if summary else 0
+        by_cp.setdefault(cp, []).append(f"{name_prefix}_{i:04d}")
+    for cp in sorted(by_cp):
+        lines.append(f"U\tcp:i:{cp}\t" + " ".join(by_cp[cp]))
     return "\n".join(lines) + "\n"
 
 
-def parse_gfa(text: str):
-    """Minimal GFA reader: returns (segments {name: seq, tags}, links)."""
-    segs, links = {}, []
+def parse_gfa(text: str, with_groups: bool = False):
+    """Minimal GFA reader: returns (segments {name: seq, tags}, links[,
+    groups {uid: [names]}])."""
+    segs, links, groups = {}, [], {}
     for line in text.splitlines():
         f = line.rstrip("\n").split("\t")
         if not f:
@@ -46,4 +57,8 @@ def parse_gfa(text: str):
             segs[f[1]] = {"seq": f[2], "tags": tags}
         elif f[0] == "L":
             links.append((f[1], f[2], f[3], f[4]))
+        elif f[0] == "U" and len(f) >= 3:
+            groups[f[1]] = f[2].split()
+    if with_groups:
+        return segs, links, groups
     return segs, links

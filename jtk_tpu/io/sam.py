@@ -61,25 +61,32 @@ def read_sam(path: str):
                 continue
             qname, flag, rname, pos, _mapq, cigar = fields[:6]
             flag = int(flag)
-            if rname == "*" or cigar == "*" or flag & 0x904:
-                continue  # unmapped / secondary / supplementary
+            if rname == "*" or cigar == "*" or flag & 0x4:
+                continue  # unmapped (secondary/supplementary kept so the
+                #            softmax primary selection can arbitrate)
             strand = -1 if flag & 0x10 else 1
             tstart = int(pos) - 1
-            # leading soft/hard clip -> qstart
+            # leading soft/hard clip -> qstart; cigar score = aligned - errors
             num = 0
             qstart = 0
+            score = 0
+            first = True
             for ch in cigar:
                 if ch.isdigit():
                     num = num * 10 + int(ch)
-                elif ch in "SH":
+                    continue
+                if first and ch in "SH":
                     qstart = num
-                    break
-                else:
-                    break
+                if ch in "M=":
+                    score += num
+                elif ch in "XID":
+                    score -= num
+                num = 0
+                first = False
             anchors, qend, tend = _walk_cigar(cigar, qstart, tstart)
             seq = fields[9] if fields[9] != "*" else None
             yield Alignment(qname, rname, strand, tstart, tend, qstart, qend,
-                            anchors, seq=seq)
+                            anchors, seq=seq, score=float(score))
 
 
 def read_paf(path: str):

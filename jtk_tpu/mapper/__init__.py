@@ -25,17 +25,45 @@ from ..ops.banded_align import align_with_cigar_batch, diagonal_offsets
 
 
 def pack_kmers(codes: np.ndarray, k: int):
-    """All k-mers of ``codes`` packed into uint64; returns (vals, valid)."""
+    """All k-mers of ``codes`` packed into uint64; returns (vals, valid).
+
+    Doubling construction: s-mer tables for power-of-two s are combined into
+    the k-mer table, so the whole pack is ~2*log2(k) vector passes instead
+    of k (the naive per-base loop dominated encode's host time)."""
+    codes = np.asarray(codes, np.int8)
     n = len(codes) - k + 1
     if n <= 0:
         return np.zeros(0, np.uint64), np.zeros(0, bool)
-    vals = np.zeros(n, dtype=np.uint64)
-    bad = np.zeros(n, dtype=bool)
-    for t in range(k):
-        c = codes[t:t + n]
-        vals = (vals << np.uint64(2)) | (c.astype(np.uint64) & np.uint64(3))
-        bad |= c > 3
-    return vals, ~bad
+    # k <= 16 fits 2k bits in uint32: half the memory traffic (this matters —
+    # the candidate sweep is bandwidth-bound on the host)
+    dt = np.uint32 if k <= 16 else np.uint64
+    cu = codes.astype(dt) & dt(3)
+    bad1 = (codes > 3) | (codes < 0)
+    pk = {1: cu}
+    bd = {1: bad1}
+    s = 1
+    while s * 2 <= k:
+        a, b_ = pk[s], bd[s]
+        pk[2 * s] = (a[:len(a) - s] << dt(2 * s)) | a[s:]
+        bd[2 * s] = b_[:len(b_) - s] | b_[s:]
+        s *= 2
+    val = None
+    badv = None
+    off, rem = 0, k
+    p = 1 << (max(k.bit_length() - 1, 0))
+    while rem and p:
+        if rem >= p:
+            seg = pk[p][off:off + n]
+            sb = bd[p][off:off + n]
+            if val is None:
+                val, badv = seg.copy(), sb.copy()
+            else:
+                val = (val << dt(2 * p)) | seg
+                badv |= sb
+            off += p
+            rem -= p
+        p >>= 1
+    return val, ~badv
 
 
 @dataclass
@@ -147,6 +175,68 @@ class ChunkIndex:
                                          margin, stride)
         return fwd + rev
 
+    def candidates_batch(self, read_codes: list, min_hits: int = 4,
+                         margin: int = 200, stride: int = 3):
+        """All reads' candidates in one vectorized sweep: k-mers of every
+        read (both strands) packed and looked up together, diagonal-bin
+        votes keyed by (read, strand, chunk, bin) in one np.unique pass."""
+        if not read_codes:
+            return []
+        k = self.k
+        lane_codes = []
+        lane_meta = []   # (read_idx, is_forward)
+        for ri, codes in enumerate(read_codes):
+            lane_codes.append(np.asarray(codes, np.int8))
+            lane_meta.append((ri, True))
+            lane_codes.append(seqmod.revcomp(np.asarray(codes, np.int8)))
+            lane_meta.append((ri, False))
+        lens = np.array([len(c) for c in lane_codes], np.int64)
+        # separator of k-1 sentinel chars kills cross-boundary k-mers
+        sep = np.full(k - 1, 7, np.int8)
+        blob = np.concatenate([x for c in lane_codes for x in (c, sep)])
+        starts = np.concatenate([[0], np.cumsum(lens + k - 1)])[:-1]
+        vals, ok = pack_kmers(blob, k)
+        if stride > 1:
+            sl = np.zeros_like(ok)
+            sl[::stride] = True
+            ok &= sl
+        rp, cid, cp = self._hits(vals, ok)
+        if len(rp) == 0:
+            return []
+        lane = np.searchsorted(starts, rp, "right") - 1
+        rpos = rp - starts[lane]
+        diag = rpos - cp
+        BIN = 128
+        dbin = diag // BIN + (1 << 20)
+        key = (lane.astype(np.int64) << 44) | (cid << 22) | dbin
+        order = np.argsort(key, kind="stable")
+        key_s, diag_s = key[order], diag[order]
+        uniq, starts_u, counts = np.unique(key_s, return_index=True,
+                                           return_counts=True)
+        cnt_by_key = dict(zip(uniq.tolist(), counts.tolist()))
+        out = []
+        taken = set()
+        for u, st, ct in zip(uniq.tolist(), starts_u, counts):
+            c2 = ct + cnt_by_key.get(u + 1, 0)
+            if c2 < min_hits:
+                continue
+            prev = cnt_by_key.get(u - 1, 0)
+            if prev > ct:
+                continue
+            lane_i = u >> 44
+            cidv = int((u >> 22) & ((1 << 22) - 1))
+            if (lane_i, cidv, u) in taken or (lane_i, cidv, u - 1) in taken:
+                continue
+            taken.add((lane_i, cidv, u))
+            taken.add((lane_i, cidv, u + 1))
+            sel = slice(st, st + ct)
+            dmed = int(np.median(diag_s[sel]))
+            clen = self.chunk_len[cidv]
+            ri, fwdb = lane_meta[lane_i]
+            out.append(Candidate(ri, cidv, fwdb, dmed - margin,
+                                 clen + 2 * margin, int(c2)))
+        return out
+
 
 def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
                       chunk_seqs: dict[int, np.ndarray], W: int = 256,
@@ -157,10 +247,25 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     """
     if not cands:
         return []
+    from ..ops.banded_align import collect_align_cigar, dispatch_align_cigar
     Qpad = max(len(chunk_seqs[c.chunk_id]) for c in cands)
     Qpad = ((Qpad + 127) // 128) * 128
     Tpad = ((max(c.window_len for c in cands) + 127) // 128) * 128
-    results = []
+    # revcomp each read at most once
+    rc_cache: dict[int, np.ndarray] = {}
+
+    def strand_read(c):
+        if c.is_forward:
+            return read_codes[c.read_idx]
+        got = rc_cache.get(c.read_idx)
+        if got is None:
+            got = seqmod.revcomp(read_codes[c.read_idx])
+            rc_cache[c.read_idx] = got
+        return got
+
+    # phase 1: build + async-dispatch every batch (device computes ahead
+    # while the host is still packing / later decoding)
+    dispatched = []
     for s in range(0, len(cands), batch):
         chunk_batch = cands[s:s + batch]
         B = batch  # fixed batch size: one compilation per shape bucket
@@ -172,9 +277,7 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
         wstarts = np.zeros(B, np.int64)
         for b, c in enumerate(chunk_batch):
             cseq = chunk_seqs[c.chunk_id]
-            rseq = read_codes[c.read_idx]
-            if not c.is_forward:
-                rseq = seqmod.revcomp(rseq)
+            rseq = strand_read(c)
             a = max(c.window_start, 0)
             bnd = min(c.window_start + c.window_len, len(rseq))
             win = rseq[a:bnd]
@@ -186,7 +289,13 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
             diag = c.window_start + margin - a
             offs[b] = diagonal_offsets(len(cseq), diag, len(win), Qpad, W)
             wstarts[b] = a
-        res = align_with_cigar_batch(qs, rs, offs, q_lens, t_lens, W, "infix")
+        dispatched.append((chunk_batch, wstarts,
+                           dispatch_align_cigar(qs, rs, offs, q_lens, t_lens,
+                                                W, "infix")))
+    # phase 2: collect + decode in dispatch order
+    results = []
+    for chunk_batch, wstarts, handle in dispatched:
+        res = collect_align_cigar(handle)
         for b, c in enumerate(chunk_batch):
             results.append({
                 "cand": c,

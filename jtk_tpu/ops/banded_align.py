@@ -244,16 +244,37 @@ def _expand_cigar(is_ins_fwd, dels_fwd, lead_d):
     return [(_KM[int(k)], int(l)) for k, l in zip(kinds[starts], sums)]
 
 
+def dispatch_align_cigar(qs, rs, offsets, q_lens, t_lens, W: int,
+                         mode: str = "global"):
+    """Async-dispatch the device part of align_with_cigar_batch; returns an
+    opaque handle for :func:`collect_align_cigar`.  Dispatching several
+    batches before collecting overlaps device compute/transfer with host
+    decoding (double buffering over a slow link)."""
+    handle = _banded_align_cigar_batch(
+        jnp.asarray(qs), jnp.asarray(rs), jnp.asarray(offsets),
+        jnp.asarray(q_lens, jnp.int32), jnp.asarray(t_lens, jnp.int32),
+        W, mode)
+    return handle, (qs, rs, offsets, q_lens, t_lens, W, mode)
+
+
+def collect_align_cigar(dispatched):
+    """Fetch + decode a handle from :func:`dispatch_align_cigar`."""
+    handle, (qs, rs, offsets, q_lens, t_lens, W, mode) = dispatched
+    return _decode_align_results(handle, qs, rs, offsets, q_lens, t_lens, W,
+                                 mode)
+
+
 def align_with_cigar_batch(qs, rs, offsets, q_lens, t_lens, W: int,
                            mode: str = "global"):
     """Batched alignment with device-side traceback: ~1.1 bytes/query-row
     cross the host link.  Returns (scores, spans, cigars) with cigars as
     [(kind, len)] lists (query = qs rows)."""
-    (score, end_j, start_j, ops_packed, del_vals, del_idx, n_runs) = \
-        _banded_align_cigar_batch(
-            jnp.asarray(qs), jnp.asarray(rs), jnp.asarray(offsets),
-            jnp.asarray(q_lens, jnp.int32), jnp.asarray(t_lens, jnp.int32),
-            W, mode)
+    return collect_align_cigar(dispatch_align_cigar(
+        qs, rs, offsets, q_lens, t_lens, W, mode))
+
+
+def _decode_align_results(handle, qs, rs, offsets, q_lens, t_lens, W, mode):
+    (score, end_j, start_j, ops_packed, del_vals, del_idx, n_runs) = handle
     score = np.asarray(score).copy()
     end_j = np.asarray(end_j).copy()
     start_j = np.asarray(start_j).copy()

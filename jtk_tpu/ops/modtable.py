@@ -23,11 +23,27 @@ the unmodified forward/backward tables:
   Dnew(i,jc) = tmd fM(i,jc-1) + tid fI(i,jc-1) + tdd fD(i,jc-1)
   Dnext(i,jc)= tmd fM(i,jc)   + tid fI(i,jc)   + tdd fD(i,jc)
 
+Multi-length edits (kiley's NUM_ROW row set, ``pseudo_mcmc.rs:167-177``):
+
+  del(t[j..j+d]), d=1..DEL_SIZE: same shape as del-1 but the backward tables
+  and the replacement emission char shift by d columns — still closed-form.
+
+  copy(t[j..j+c]), c=1..COPY_SIZE (tandem duplication, equivalent to
+  inserting the segment t[j..j+c] after column j+c): the extension walks the
+  c copied columns with a short M/D recursion seeded by Anext/Dnext,
+  bucketed by the number of query chars consumed (so per-row rescaling stays
+  exact: bucket u joins fcum[i-u] with bcum[i]).  c=1 is exact (it is an
+  insertion of t[j]); for c>=2 query-insertion states *between* the copied
+  columns are dropped — a deliberate approximation whose missing paths carry
+  O(p_ins) mass; kiley recomputes these exactly, we trade that for a table
+  that still comes from the single shared fwd/bwd pass.
+
 All terms are elementwise in the shared banded (row, lane) layout (same band
 offsets for forward and backward), then segment-summed per template column —
-no per-edit DP re-runs.  Output layout: (Tpad+1, 9) with columns
-[sub A,C,G,T | del | ins A,C,G,T]; row j holds sub/del at template position j
-and ins-before-position j (so row Tpad alone can hold a trailing insertion).
+no per-edit DP re-runs.  Output layout: (Tpad+1, 14) with columns
+[sub A,C,G,T | ins A,C,G,T | copy len 1..3 | del len 1..3] (kiley row
+order); row j holds sub/del/copy at template position j and
+ins-before-position j (so row Tpad alone can hold a trailing insertion).
 """
 
 from __future__ import annotations
@@ -40,7 +56,9 @@ import numpy as np
 
 from .phmm import EPS, PHMMParams, _emit_pad, backward_banded, forward_banded
 
-NUM_EDIT = 9  # 4 sub + 1 del + 4 ins
+COPY_SIZE = 3
+DEL_SIZE = 3
+NUM_EDIT = 8 + COPY_SIZE + DEL_SIZE  # 4 sub + 4 ins + copies + dels = 14
 
 
 def _shl2(tab, fill=0.0):
@@ -153,21 +171,29 @@ def modification_table(q, r, offsets, q_len, t_len, params: PHMMParams,
     sub_tab = sub_tab[1:, :]                                       # index by j
     sub_tab = jnp.concatenate([sub_tab, np.zeros((1, 4), np.float32)], axis=0)
 
-    # --- deletion of t[j] (jc = j+1 < T): uses next column's b tables ---
-    # rc_next[i,k] = r[jc] = r[off_i + k] = rcs[i, k+1] (edge fill 4 -> em 0)
-    rc_next = _shl2(rcs, fill=4)
-    rc_oh = (rc_next[..., None] ==
-             np.arange(5, dtype=rc_next.dtype)).astype(jnp.float32)
-    em_next = jnp.einsum("ikb,ib->ik", rc_oh, em_q5)  # me[rc_next, q[i-1]]
-    del_term = em_next * A * bMn * cA + Dnew * bDn * cB
-    del_col = colsum(del_term)                  # by jc
-    del_tab = del_col[1:]
-    del_tab = jnp.concatenate([del_tab, np.zeros((1,), np.float32)])
-    # deleting the LAST char (jc == t_len): LK = f-sum at (q_len, t_len-1)
-    k_last = jnp.clip(t_len - 1 - offsets[q_len], 0, W - 1)
-    f_last = (fM[q_len, k_last] + fI[q_len, k_last] + fD[q_len, k_last])
-    lk_del_last = jnp.log(f_last + EPS) + fcum[q_len]
-    # (applied after log below)
+    # --- deletions of t[j..j+d], d = 1..DEL_SIZE (jc = j+1) ---
+    def em_of(rc_codes):
+        oh = (rc_codes[..., None] ==
+              np.arange(5, dtype=rc_codes.dtype)).astype(jnp.float32)
+        return jnp.einsum("ikb,ib->ik", oh, em_q5)   # me[rc, q[i-1]]
+
+    del_tabs = []
+    lk_del_last = []
+    bM_d, bD_d, rc_d = bM, bD, rcs
+    for d in range(1, DEL_SIZE + 1):
+        bM_d = _shl2(bM_d)               # b tables at (i, jc+d)
+        bD_d = _shl2(bD_d)
+        rc_d = _shl2(rc_d, fill=4)       # r[jc+d-1] (char after the block)
+        em_d = em_of(rc_d)
+        term = em_d * A * bM_d * cA + Dnew * bD_d * cB
+        col = colsum(term)               # by jc
+        tab_d = jnp.concatenate([col[1:], np.zeros((1,), np.float32)])
+        del_tabs.append(tab_d)
+        # deleting a block that ends the template (j + d == t_len):
+        # LK = f-sum at (q_len, t_len - d)
+        k_last = jnp.clip(t_len - d - offsets[q_len], 0, W - 1)
+        f_last = (fM[q_len, k_last] + fI[q_len, k_last] + fD[q_len, k_last])
+        lk_del_last.append(jnp.log(f_last + EPS) + fcum[q_len])
 
     # --- insertion before position j (jc = j): paths through the new column ---
     DnB = Dnext * bD * cB
@@ -178,18 +204,77 @@ def modification_table(q, r, offsets, q_len, t_len, params: PHMMParams,
     ins_base = colsum(DnB)
     ins_tab = jnp.stack(ins_cols, axis=1) + ins_base[:, None]      # by jc == j
 
-    table = jnp.concatenate([sub_tab, del_tab[:, None], ins_tab], axis=1)
+    # --- copies of t[j..j+c], c = 1..COPY_SIZE (tandem dup; anchored at
+    # column J = j+c, i.e. segment inserted after column J) ---
+    # scale factor per consumed-query-chars bucket u: fcum[i-u] + bcum[i]
+    cU = [cB, cA]
+    fcum_u = fcum_p
+    for _u in range(2, COPY_SIZE + 1):
+        fcum_u = jnp.concatenate([np.array([-np.inf], np.float32),
+                                  fcum_u[:-1]])
+        cu = jnp.exp(jnp.clip(fcum_u + bcum - lk, -80.0, 80.0))[:, None]
+        cU.append(jnp.where(live_row, cu, 0.0))
+
+    def row_down(tab):
+        """value at (i, k) = tab(i-1, k + s_i) (column-anchored row shift)."""
+        prev = jnp.concatenate([zrow, tab[:-1]], 0)
+        return _row_shift_unit(prev, one_col, False)
+
+    copy_tabs = []
+    for c in range(1, COPY_SIZE + 1):
+        Mb: dict = {}
+        Db: dict = {}
+        for m in range(1, c + 1):
+            # m-th copied char, anchored at column J: r[J - c + m - 1]
+            rc_m = rcs
+            for _ in range(c - m):
+                rc_m = _shr2(rc_m, fill=4)
+            em_m = em_of(rc_m)
+            if m == 1:
+                Mb = {1: em_m * Anext}
+                Db = {0: Dnext}
+            else:
+                newM: dict = {}
+                for u, tab in Mb.items():
+                    newM[u + 1] = newM.get(u + 1, 0.0) + tmm * row_down(tab)
+                for u, tab in Db.items():
+                    newM[u + 1] = newM.get(u + 1, 0.0) + tdm * row_down(tab)
+                newM = {u: em_m * tab for u, tab in newM.items()}
+                newD = {u: tmd * Mb.get(u, 0.0) + tdd * Db.get(u, 0.0)
+                        for u in set(Mb) | set(Db)}
+                Mb, Db = newM, newD
+        term = 0.0
+        for u, tab in Mb.items():
+            term = term + tab * bM * cU[u]
+        for u, tab in Db.items():
+            term = term + tab * bD * cU[u]
+        col = colsum(term)               # by jc = J = j + c
+        tab_c = jnp.concatenate(
+            [col[c:], np.zeros((c,), np.float32)])   # index by j
+        copy_tabs.append(tab_c)
+
+    table = jnp.concatenate(
+        [sub_tab, ins_tab, jnp.stack(copy_tabs, 1), jnp.stack(del_tabs, 1)],
+        axis=1)
     ltable = jnp.log(jnp.maximum(table, EPS)) + lk
-    ltable = ltable.at[:, 4].set(
-        jnp.where(np.arange(Tpad + 1) == t_len - 1, lk_del_last, ltable[:, 4]))
+    pos = np.arange(Tpad + 1)
+    for d in range(1, DEL_SIZE + 1):
+        colidx = 8 + COPY_SIZE + d - 1
+        ltable = ltable.at[:, colidx].set(
+            jnp.where(pos == t_len - d, lk_del_last[d - 1],
+                      ltable[:, colidx]))
 
     # mask invalid positions
-    pos = np.arange(Tpad + 1)
     neg = np.float32(-1e30)
     sub_ok = pos[:, None] < t_len
     ins_ok = pos[:, None] <= t_len
+    copy_ok = jnp.concatenate(
+        [pos[:, None] + c <= t_len for c in range(1, COPY_SIZE + 1)], axis=1)
+    del_ok = jnp.concatenate(
+        [pos[:, None] + d <= t_len for d in range(1, DEL_SIZE + 1)], axis=1)
     mask = jnp.concatenate(
-        [jnp.repeat(sub_ok, 4, 1), sub_ok, jnp.repeat(ins_ok, 4, 1)], axis=1)
+        [jnp.repeat(sub_ok, 4, 1), jnp.repeat(ins_ok, 4, 1), copy_ok, del_ok],
+        axis=1)
     ltable = jnp.where(mask, ltable, neg)
     return lk, ltable
 

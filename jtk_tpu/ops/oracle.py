@@ -105,12 +105,17 @@ def phmm_forward(q, r, par, mode: str = "global"):
 
 
 def apply_edit(template: np.ndarray, op: str, pos: int, base: int = 0):
-    """Apply a single template edit: 'S' substitute, 'I' insert-before, 'D' delete."""
+    """Apply a single template edit: 'S' substitute, 'I' insert-before,
+    'D' delete ``base`` chars (default 1), 'C' tandem-copy ``base`` chars."""
     t = list(template)
     if op == "S":
         t[pos] = base
     elif op == "I":
         t.insert(pos, base)
     elif op == "D":
-        del t[pos]
+        d = max(base, 1)
+        del t[pos:pos + d]
+    elif op == "C":
+        c = max(base, 1)
+        t = t[:pos + c] + t[pos:pos + c] + t[pos + c:]
     return np.array(t, dtype=template.dtype)

@@ -285,3 +285,40 @@ likelihood_pileup = jax.jit(
     jax.vmap(likelihood, in_axes=(0, None, 0, 0, None, None, None)),
     static_argnames=("W",),
 )
+
+# batched: independent (query, template) pairs (gain calibration sweeps)
+likelihood_pairs = jax.jit(
+    jax.vmap(likelihood, in_axes=(0, 0, 0, 0, 0, None, None)),
+    static_argnames=("W",),
+)
+
+
+def hmm_generate(rng: np.random.Generator, template: np.ndarray,
+                 params: PHMMParams) -> np.ndarray:
+    """Sample a read from the pair-HMM (kiley gen_seq Generate counterpart):
+    walk M/I/D by the transition matrix, emit query bases from the emission
+    tables.  Host-side numpy; used by the gain-calibration simulators."""
+    t = np.asarray(params.trans)
+    me = np.asarray(params.mat_emit)
+    me = me / np.maximum(me.sum(1, keepdims=True), 1e-9)
+    ie = np.asarray(params.ins_emit)
+    ie = ie / np.maximum(ie.sum(1, keepdims=True), 1e-9)
+    out = []
+    state = 0
+    i = 0
+    prev = 4
+    T = len(template)
+    while i < T:
+        if state == 0:   # M: consume template, emit
+            b = int(rng.choice(4, p=me[template[i]]))
+            out.append(b)
+            prev = b
+            i += 1
+        elif state == 1:  # I: emit only
+            b = int(rng.choice(4, p=ie[prev]))
+            out.append(b)
+            prev = b
+        else:            # D: consume template silently
+            i += 1
+        state = int(rng.choice(3, p=t[state] / t[state].sum()))
+    return np.array(out, np.int8)

@@ -34,11 +34,17 @@ def effective_band(W: int, q_lens, t_len: int) -> int:
 
 def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
                               params: PHMMParams, W: int, Tpad: int,
-                              max_batch: int = 256):
+                              max_batch: int = 256, strands=None,
+                              params_rev: PHMMParams | None = None):
     """Sum of per-read modification tables and baseline LKs.
 
-    Returns (lks (R,), total_gain (Tpad+1, 9)) where total_gain[j, e] =
-    sum_r [LK_r(edit) - LK_r].
+    With ``strands`` (bool per read) and ``params_rev``, reverse-strand reads
+    are scored under the reverse-strand HMM (the reference's
+    PairHiddenMarkovModelOnStrands antidiagonal polish,
+    consensus/mod.rs:445-496).
+
+    Returns (lks (R,), total_gain (Tpad+1, NUM_EDIT)) where total_gain[j, e]
+    = sum_r [LK_r(edit) - LK_r].
     """
     t_len = len(template)
     tpl = _pad_to(template, Tpad, 4)
@@ -51,15 +57,25 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
     offs = np.stack([linear_offsets(int(l), t_len, Qpad, W) for l in q_lens])
     lks = np.zeros(R, np.float64)
     total = np.zeros((Tpad + 1, NUM_EDIT), np.float64)
-    for s in range(0, R, max_batch):
-        e = min(R, s + max_batch)
-        lk, tab = modification_table_pileup(
-            qs[s:e], tpl, offs[s:e], q_lens[s:e], np.int32(t_len), params, W, Tpad)
-        lk = np.asarray(lk, np.float64)
-        tab = np.asarray(tab, np.float64)
-        lks[s:e] = lk
-        gain = tab - lk[:, None, None]
-        total += np.where(tab < -1e29, -1e30, gain).sum(axis=0)  # masked stay very negative
+    if strands is None or params_rev is None:
+        groups = [(np.arange(R), params)]
+    else:
+        strands = np.asarray(strands, bool)
+        groups = [(np.nonzero(strands)[0], params),
+                  (np.nonzero(~strands)[0], params_rev)]
+    for idx, par in groups:
+        for s in range(0, len(idx), max_batch):
+            sel = idx[s:s + max_batch]
+            if len(sel) == 0:
+                continue
+            lk, tab = modification_table_pileup(
+                qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len), par,
+                W, Tpad)
+            lk = np.asarray(lk, np.float64)
+            tab = np.asarray(tab, np.float64)
+            lks[sel] = lk
+            gain = tab - lk[:, None, None]
+            total += np.where(tab < -1e29, -1e30, gain).sum(axis=0)
     return lks, total
 
 
@@ -85,22 +101,29 @@ def choose_edits(total_gain: np.ndarray, t_len: int, min_gain: float,
 
 
 def apply_edits(template: np.ndarray, edits) -> np.ndarray:
-    """Apply (pos, edit_code, gain) edits; edit codes follow modtable layout."""
+    """Apply (pos, edit_code, gain) edits; edit codes follow the modtable
+    layout [sub 0-3 | ins 4-7 | copy len 1..3 | del len 1..3]."""
+    from .modtable import COPY_SIZE
     t = template
     for j, e, _ in sorted(edits, reverse=True):
         if e < 4:  # substitution
             t = np.concatenate([t[:j], [e], t[j + 1:]])
-        elif e == 4:  # deletion
-            t = np.concatenate([t[:j], t[j + 1:]])
-        else:  # insertion before j
-            t = np.concatenate([t[:j], [e - 5], t[j:]])
+        elif e < 8:  # insertion before j
+            t = np.concatenate([t[:j], [e - 4], t[j:]])
+        elif e < 8 + COPY_SIZE:  # tandem copy of t[j..j+c]
+            c = e - 8 + 1
+            t = np.concatenate([t[:j + c], t[j:j + c], t[j + c:]])
+        else:  # deletion of t[j..j+d]
+            d = e - 8 - COPY_SIZE + 1
+            t = np.concatenate([t[:j], t[j + d:]])
     return t.astype(np.int8)
 
 
 def polish_until_converge(template: np.ndarray, reads: list[np.ndarray],
                           params: PHMMParams, W: int = 128,
                           max_rounds: int = 20, min_gain: float = 0.1,
-                          spacing: int = 8):
+                          spacing: int = 8, strands=None,
+                          params_rev: PHMMParams | None = None):
     """Polish ``template`` against ``reads`` until no improving edit remains.
 
     Returns (polished_template, final_lks).
@@ -113,7 +136,9 @@ def polish_until_converge(template: np.ndarray, reads: list[np.ndarray],
     for _ in range(max_rounds):
         if len(tpl) + 8 > Tpad:
             Tpad += 128
-        lks, total = pileup_modification_gains(tpl, reads, params, W, Tpad)
+        lks, total = pileup_modification_gains(tpl, reads, params, W, Tpad,
+                                               strands=strands,
+                                               params_rev=params_rev)
         edits = choose_edits(total, len(tpl), min_gain, spacing)
         if not edits:
             break

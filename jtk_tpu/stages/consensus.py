@@ -118,30 +118,33 @@ def _window_segment(read_codes, sign, chain, w0, w1, margin):
     return seg
 
 
-def _stitch(a: np.ndarray, b: np.ndarray, ov: int) -> np.ndarray:
+def _stitch(a: np.ndarray, b: np.ndarray, ov: int):
     """Join two polished windows that overlap by ~ov bp: locate b's head
-    inside a's tail by infix alignment and cut there."""
+    inside a's tail by infix alignment and cut there.  Returns
+    (joined, start_of_b_in_joined)."""
     if len(a) == 0:
-        return b
+        return b, 0
     if len(b) == 0:
-        return a
+        return a, len(a)
     head = b[:min(ov, len(b))]
     tail = a[-min(2 * ov, len(a)):]
     if len(head) < 8 or len(tail) < 16:
-        return np.concatenate([a, b[min(ov, len(b)):]])
+        cut_b = min(ov, len(b))
+        return np.concatenate([a, b[cut_b:]]), len(a) - cut_b
     try:
         # head is expected to start ~ov before a's end
         diag = max(len(tail) - ov, 0)
         _, _cigar, rs, _re = edit_align(head, tail, W=128, mode="infix",
                                         diag=diag)
     except AssertionError:
-        return np.concatenate([a, b[min(ov, len(b)):]])
+        cut_b = min(ov, len(b))
+        return np.concatenate([a, b[cut_b:]]), len(a) - cut_b
     cut_a = len(a) - len(tail) + rs
-    return np.concatenate([a[:cut_a], b])
+    return np.concatenate([a[:cut_a], b]), cut_a
 
 
 def trim_segments(template: np.ndarray, segs: list, margin: int,
-                  max_err: float = 0.4):
+                  max_err: float = 0.4, return_index: bool = False):
     """Cut each (longer) segment to exactly the template's span via one
     batched infix alignment (template as query, free segment ends) — the
     counterpart of the reference's per-window read splitting
@@ -175,7 +178,7 @@ def trim_segments(template: np.ndarray, segs: list, margin: int,
         lo, hi = int(res["start_j"][i]), int(res["end_j"][i])
         if hi - lo < len(t) // 2:
             continue
-        out.append(s[lo:hi])
+        out.append((s[lo:hi], i) if return_index else s[lo:hi])
     return out
 
 
@@ -264,16 +267,36 @@ def dump_sam(ds: DataSet, contigs, path: str, names=None, W: int = 128,
                             f"\t*\t0\t0\t{seq_str}\t*\n")
 
 
+def _remap_tiles(contig, part_old_starts, part_new_starts, old_len, new_len):
+    """Piecewise-linear old->new coordinate map from window start anchors so
+    the chunk-space tiles stay in sync with the polished sequence — the
+    counterpart of the reference's fix_alignment re-alignment between rounds
+    (consensus/mod.rs:498-561)."""
+    xs = np.asarray(part_old_starts + [old_len], float)
+    ys = np.asarray(part_new_starts + [new_len], float)
+    order = np.argsort(xs)
+    xs, ys = xs[order], ys[order]
+    for t in contig.get("tiles", []):
+        t["start"] = int(np.interp(t["start"], xs, ys))
+        t["end"] = int(np.interp(t["end"], xs, ys))
+
+
 def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                    overlap: int = 100, margin: int = 150, cap: int = 30,
-                   min_cov: int = 4, rounds: int = 1, seed: int = 42) -> list:
-    """Polish contig dicts in place (seq replaced); returns the contigs."""
-    params = PHMMParams.from_hmmparam(ds.model_param.forward)
+                   min_cov: int = 4, rounds: int = 3, seed: int = 42) -> list:
+    """Polish contig dicts in place (seq replaced); returns the contigs.
+
+    Three rounds by default (consensus/mod.rs:300); each window pileup is
+    polished under the strand-specific HMM pair, and tiles are remapped
+    through the per-window coordinate changes between rounds."""
+    params_f = PHMMParams.from_hmmparam(ds.model_param.forward)
+    params_r = PHMMParams.from_hmmparam(ds.model_param.reverse)
     read_codes = [seqmod.encode(er.recover_raw_read())
                   for er in ds.encoded_reads]
     rng = np.random.default_rng(seed)
-    for _ in range(rounds):
+    for _round in range(rounds):
         per_contig = _read_anchors(ds, contigs)
+        any_change = False
         for ci, contig in enumerate(contigs):
             cseq = seqmod.encode(contig["seq"])
             if len(cseq) < 100:
@@ -289,7 +312,7 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                 ext0 = max(w0 - overlap, 0)
                 ext1 = min(w1 + overlap, len(cseq))
                 template = cseq[ext0:ext1]
-                segs = []
+                segs, strands = [], []
                 for ri, sign, chain in aligns:
                     cs0 = min(a[2] for a in chain)
                     ce1 = max(a[3] for a in chain)
@@ -302,25 +325,43 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                                           ext0, ext1, margin)
                     if seg is not None:
                         segs.append(seg)
+                        strands.append(sign > 0)
                 if len(segs) > cap:
                     idx = rng.permutation(len(segs))[:cap]
                     segs = [segs[i] for i in idx]
-                segs = trim_segments(template, segs, margin)
+                    strands = [strands[i] for i in idx]
+                kept = trim_segments(template, segs, margin,
+                                     return_index=True)
+                segs = [s for s, _i in kept]
+                strands = [strands[i] for _s, i in kept]
                 if len(segs) >= min_cov:
                     band = max(ReadType.band_width(ds.read_type,
                                                    len(template)), 64)
                     band = ((band + 63) // 64) * 64
                     template, _ = polish_until_converge(
-                        template, segs, params, W=band, max_rounds=6)
+                        template, segs, params_f, W=band, max_rounds=6,
+                        strands=np.array(strands), params_rev=params_r)
                 polished_parts.append((ext0, w0, w1, ext1, template))
             # stitch neighbouring windows (they overlap by ~2*overlap bp)
             out = None
+            old_starts, new_starts = [], []
             for (ext0, w0, w1, ext1, tpl) in polished_parts:
                 if out is None:
                     out = tpl
+                    old_starts.append(ext0)
+                    new_starts.append(0)
                     continue
-                out = _stitch(out, tpl, 2 * overlap)
+                out, cut = _stitch(out, tpl, 2 * overlap)
+                old_starts.append(ext0)
+                new_starts.append(cut)
             if out is not None:
-                contig["seq"] = seqmod.decode(out).decode()
+                new_seq = seqmod.decode(out).decode()
+                if new_seq != contig["seq"]:
+                    any_change = True
+                _remap_tiles(contig, old_starts, new_starts,
+                             len(cseq), len(out))
+                contig["seq"] = new_seq
+        if not any_change:
+            break
     ds.push_stage("PolishContigs", [])
     return contigs

@@ -2,17 +2,23 @@
 
 Reference: ``haplotyper/src/phmm_likelihood_correction.rs`` — per chunk, every
 covering read becomes a context of ordered neighbor (chunk, posterior) arms
-(to_context :242-261); pairwise read similarity aligns the chunk-symbol
-strings with a match score equal to the log-odds that both reads draw the same
-cluster from their posteriors (sim/align :466-550), sigmoid-squashed and
-kNN-sparsified (:330-347); the normalized graph Laplacian's eigenvalue count
-below 0.2 picks k, the spectral embedding (+ appended posteriors) is k-means
-clustered with 20 restarts (:263-328, :405-464), per-chunk ARI against the
-previous labels decides squishing of the bottom quantile (:31-129), and hard
-posteriors (0 / -10000) are written back.
+(to_context :242-261); pairwise read similarity aligns the chunk-symbol arms
+with SWG (gap open -0.5, extension/mismatch -100, :481-533) where the match
+score is the log-odds that both reads draw the same cluster from their
+posteriors given the per-cluster copy numbers (sim/logit :534-566),
+sigmoid-squashed; similarities are sparsified by keeping each row's top
+~R/(4*copy_num) entries above 0.51 (filter_similarity :330-347); the
+normalized graph Laplacian's eigenvalue count below 0.2 picks k, the spectral
+embedding (+ appended posteriors, column-normalized per normalize_columns
+:299) is k-means clustered with 20 restarts; per-chunk ARI on posterior-
+biased nodes decides squishing of the bottom quantile (:31-129, :220-241),
+and hard posteriors (0 / -10000) are written back.
 
-numpy implementation: the matrices are coverage-sized (<= a few hundred), so
-``np.linalg.eigh`` is ample (SURVEY.md §2.4 nalgebra note).
+Vectorized host implementation: match scores are precomputed per chunk as
+(n_c, n_c) posterior-agreement matrices (one logsumexp broadcast per chunk),
+the SWG DP runs as numpy loops over the (arm x arm) grid with the whole
+read-pair batch as the vector dimension, and eigendecompositions use
+``np.linalg.eigh`` (matrices are coverage-sized; SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -23,54 +29,234 @@ from collections import defaultdict
 import numpy as np
 
 from ..datamodel import DataSet
-from .util import adjusted_rand_index, logsumexp
+from .util import adjusted_rand_index
 
 logger = logging.getLogger(__name__)
 
-ARM_LEN = 5
+ARM_LEN = 8          # arm cap for the vectorized SWG (reference: full arms)
 EIG_THR = 0.2
 HARD_NEG = -10000.0
+GAP_OPEN = -0.5
+GAP_EXTEND = -100.0
+MISM = -100.0
+MOCK_CP = 1.5
+BIAS_THR = 0.2
+MIN_REQ = 0.51
 
 
-def _context(er, idx):
-    """(center node, up-arm, down-arm) of the idx-th node; arms are lists of
-    (chunk, posterior np.array) ordered away from the center, oriented in the
-    center node's frame."""
-    n = er.nodes[idx]
-    after = [(m.chunk, np.array(m.posterior)) for m in er.nodes[idx + 1:]]
-    before = [(m.chunk, np.array(m.posterior)) for m in er.nodes[:idx]][::-1]
-    if n.is_forward:
-        up, down = before, after
-    else:
-        up, down = after, before
-    return n, up[:ARM_LEN], down[:ARM_LEN]
+def estimate_copy_number_of_cluster(ds: DataSet) -> dict:
+    """chunk_id -> per-cluster copy numbers (posterior-weighted counts /
+    haploid coverage, min 1, topped up to the chunk copy number)
+    (phmm_likelihood_correction.rs:131-178)."""
+    from .util import update_coverage
+    cov = ds.coverage.unwrap() if ds.coverage.is_available \
+        else update_coverage(ds)
+    cov = max(cov, 1e-9)
+    chunks = {c.id: c for c in ds.selected_chunks}
+    obs = {cid: np.zeros(max(c.cluster_num, 1))
+           for cid, c in chunks.items()}
+    for er in ds.encoded_reads:
+        for n in er.nodes:
+            if n.chunk not in obs:
+                continue
+            p = np.asarray(n.posterior, float)
+            if len(p) != len(obs[n.chunk]):
+                continue
+            t = np.logaddexp.reduce(p)
+            obs[n.chunk] += np.exp(p - t)
+    out = {}
+    for cid, o in obs.items():
+        est = np.maximum(np.round(o / max(cov, 1e-9)), 1.0)
+        total = chunks[cid].copy_num
+        while est.sum() < total:
+            est[int(np.argmax(o - est * cov))] += 1
+        out[cid] = est
+    return out
 
 
-def _post_sim(p: np.ndarray, q: np.ndarray) -> float:
-    """Log-odds that two posterior draws agree vs independent uniform."""
-    if len(p) != len(q) or len(p) == 0:
-        return 0.0
-    k = len(p)
-    agree = float(logsumexp(p + q))
-    return agree + float(np.log(k))
+def _logit_from_lnp(lnp):
+    lnp = np.clip(lnp, -80.0, -1.8e-35)
+    return np.clip(lnp - np.log1p(-np.exp(lnp)), -80.0, 80.0)
 
 
-def _arm_sim(a, b) -> float:
-    s = 0.0
-    for (ca, pa), (cb, pb) in zip(a, b):
-        if ca == cb:
-            s += _post_sim(pa, pb)
+def _sim_matrix(P: np.ndarray, cps: np.ndarray) -> np.ndarray:
+    """(n, k) log-posteriors -> (n, n) pairwise agreement log-odds
+    (sim, phmm_likelihood_correction.rs:534-556)."""
+    k = P.shape[1]
+    if k <= 1:
+        v = -np.log(max(float(np.sum(cps)), MOCK_CP) - 1.0) \
+            if max(float(np.sum(cps)), MOCK_CP) > 1.0 else 80.0
+        return np.full((len(P), len(P)), v)
+    x = P[:, None, :] + P[None, :, :] - np.log(np.maximum(cps, 1e-9))[None, None, :]
+    m = x.max(-1)
+    lnp = m + np.log(np.sum(np.exp(x - m[..., None]), -1))
+    lnp = np.minimum(lnp, -1e-30)
+    return _logit_from_lnp(lnp)
+
+
+def _swg_batch(M: np.ndarray, len1: np.ndarray, len2: np.ndarray) -> np.ndarray:
+    """Batched SWG over precomputed match matrices M (B, A, A); gaps open
+    -0.5 / extend -100, free tail (max over last row+column within lengths)
+    (align_swg, :481-533)."""
+    B, A, _ = M.shape
+    LOW = -1e18
+    mat = np.full((B, A + 1, A + 1), LOW)
+    d2 = np.full((B, A + 1, A + 1), LOW)
+    d1 = np.full((B, A + 1, A + 1), LOW)
+    mat[:, 0, 0] = 0.0
+    for i in range(1, A + 1):
+        d1[:, i, 0] = GAP_OPEN + (i - 1) * GAP_EXTEND
+        d2[:, 0, i] = GAP_OPEN + (i - 1) * GAP_EXTEND
+    for i in range(1, A + 1):
+        best_prev = np.maximum(np.maximum(mat[:, i - 1, :-1], d2[:, i - 1, :-1]),
+                               d1[:, i - 1, :-1])
+        mat[:, i, 1:] = best_prev + M[:, i - 1, :]
+        d1[:, i, 1:] = np.maximum(
+            np.maximum(mat[:, i - 1, 1:] + GAP_OPEN, d2[:, i - 1, 1:] + GAP_OPEN),
+            d1[:, i - 1, 1:] + GAP_EXTEND)
+        for j in range(1, A + 1):
+            d2[:, i, j] = np.maximum(
+                np.maximum(mat[:, i, j - 1] + GAP_OPEN,
+                           d1[:, i, j - 1] + GAP_OPEN),
+                d2[:, i, j - 1] + GAP_EXTEND)
+    best = np.maximum(np.maximum(mat, d2), d1)   # (B, A+1, A+1)
+    bidx = np.arange(B)
+    out = np.full(B, LOW)
+    for j in range(A + 1):
+        v = np.where(j <= len2, best[bidx, len1, j], LOW)
+        out = np.maximum(out, v)
+    for i in range(A + 1):
+        v = np.where(i <= len1, best[bidx, i, len2], LOW)
+        out = np.maximum(out, v)
+    return out
+
+
+def _contexts(ds: DataSet, occ):
+    """Per occurrence: center posterior + oriented arm (chunk, flat posterior
+    index) lists (to_context, :242-261)."""
+    ctxs = []
+    for ri, ni in occ:
+        er = ds.encoded_reads[ri]
+        n = er.nodes[ni]
+        before = [(m.chunk, (ri, i)) for i, m in enumerate(er.nodes[:ni])][::-1]
+        after = [(m.chunk, (ri, i))
+                 for i, m in enumerate(er.nodes[ni + 1:], start=ni + 1)]
+        if n.is_forward:
+            up, down = before, after
         else:
-            break  # arms diverge (different path) — stop accumulating
-    return s
+            up, down = after, before
+        ctxs.append((n, up[:ARM_LEN], down[:ARM_LEN]))
+    return ctxs
+
+
+def _pair_similarities(ds: DataSet, ctxs, cluster_cps):
+    """(R, R) sigmoid similarity matrix for one chunk's contexts."""
+    R = len(ctxs)
+    # register every arm entry per chunk for grouped sim computation
+    entry_index = {}   # (ri, ni) -> (chunk, idx within chunk group)
+    groups = defaultdict(list)
+    for _n, up, down in ctxs:
+        for ch, key in up + down:
+            if key not in entry_index:
+                entry_index[key] = (ch, len(groups[ch]))
+                groups[ch].append(key)
+    sims = {}
+    for ch, keys in groups.items():
+        cps = cluster_cps.get(ch, np.ones(1))
+        P = []
+        for (ri, ni) in keys:
+            p = np.asarray(ds.encoded_reads[ri].nodes[ni].posterior, float)
+            P.append(p)
+        k = max(len(p) for p in P)
+        Pm = np.full((len(P), k), -30.0)
+        for i, p in enumerate(P):
+            Pm[i, :len(p)] = p
+        if len(cps) != k:
+            cps = np.ones(k)
+        sims[ch] = _sim_matrix(Pm, cps)
+
+    # per-occurrence arm arrays
+    up_ch = np.full((R, ARM_LEN), -1, np.int64)
+    up_ix = np.zeros((R, ARM_LEN), np.int64)
+    up_len = np.zeros(R, np.int64)
+    dn_ch = np.full((R, ARM_LEN), -1, np.int64)
+    dn_ix = np.zeros((R, ARM_LEN), np.int64)
+    dn_len = np.zeros(R, np.int64)
+    for i, (_n, up, down) in enumerate(ctxs):
+        for a, (ch, key) in enumerate(up):
+            up_ch[i, a] = ch
+            up_ix[i, a] = entry_index[key][1]
+        up_len[i] = len(up)
+        for a, (ch, key) in enumerate(down):
+            dn_ch[i, a] = ch
+            dn_ix[i, a] = entry_index[key][1]
+        dn_len[i] = len(down)
+
+    # center similarity
+    center_chunk = ctxs[0][0].chunk
+    kc = max(len(c[0].posterior) for c in ctxs)
+    Pc = np.full((R, kc), -30.0)
+    for i, (n, _u, _d) in enumerate(ctxs):
+        Pc[i, :len(n.posterior)] = n.posterior
+    cps_c = cluster_cps.get(center_chunk, np.ones(kc))
+    if len(cps_c) != kc:
+        cps_c = np.ones(kc)
+    center_sim = _sim_matrix(Pc, cps_c)
+
+    # batched arm alignment over all R^2 pairs
+    ii, jj = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
+    ii, jj = ii.reshape(-1), jj.reshape(-1)
+
+    def arm_scores(ch_arr, ix_arr, len_arr):
+        B = len(ii)
+        M = np.full((B, ARM_LEN, ARM_LEN), MISM)
+        c1 = ch_arr[ii]          # (B, A)
+        c2 = ch_arr[jj]
+        same = (c1[:, :, None] == c2[:, None, :]) & (c1[:, :, None] >= 0)
+        # fill sim values chunk by chunk
+        for ch, S in sims.items():
+            m1 = c1 == ch
+            m2 = c2 == ch
+            if not m1.any() or not m2.any():
+                continue
+            pick = same & m1[:, :, None] & m2[:, None, :]
+            b, a1, a2 = np.nonzero(pick)
+            M[b, a1, a2] = S[ix_arr[ii][b, a1], ix_arr[jj][b, a2]]
+        return _swg_batch(M, len_arr[ii], len_arr[jj])
+
+    total = arm_scores(up_ch, up_ix, up_len) \
+        + arm_scores(dn_ch, dn_ix, dn_len) \
+        + center_sim[ii, jj]
+    A = 1.0 / (1.0 + np.exp(-np.clip(total, -60, 60)))
+    A = A.reshape(R, R)
+    np.fill_diagonal(A, 0.0)
+    return A
+
+
+def _filter_similarity(A: np.ndarray, copy_num: int) -> np.ndarray:
+    """Keep each row's entries above max(nth-smallest, 0.51), symmetrized
+    (filter_similarity, :330-347).  A floor of 5 kept neighbors guards the
+    low-coverage degenerate case where top-R/(4*copy) fragments each
+    haplotype into posterior-label subgroups."""
+    R = len(A)
+    keep_n = max(R // max(copy_num, 1) // 4, 5)
+    nth = max(R - keep_n, 0)
+    keep = np.zeros_like(A, bool)
+    for i in range(R):
+        row = np.sort(A[i])
+        thr = max(row[min(nth, R - 1)], MIN_REQ)
+        keep[i] = A[i] >= thr
+    keep |= keep.T
+    return np.where(keep, A, 0.0)
 
 
 def correct_clustering(ds: DataSet, repeat_num: int = 5,
-                       coverage_thr: int = 5, knn: int = 8,
+                       coverage_thr: int = 5,
                        squish_quantile: float = 0.05,
                        seed: int = 42) -> DataSet:
     rng = np.random.default_rng(seed)
     chunks = {c.id: c for c in ds.selected_chunks}
+    cluster_cps = estimate_copy_number_of_cluster(ds)
     occurrences = defaultdict(list)  # chunk -> [(read_idx, node_idx)]
     for ri, er in enumerate(ds.encoded_reads):
         for ni, n in enumerate(er.nodes):
@@ -84,44 +270,40 @@ def correct_clustering(ds: DataSet, repeat_num: int = 5,
         if chunk.cluster_num <= 1:
             continue
         R = len(occ)
-        ctxs = [_context(ds.encoded_reads[ri], ni) for ri, ni in occ]
-        # similarity matrix
-        A = np.zeros((R, R))
-        for i in range(R):
-            for j in range(i + 1, R):
-                s = (_post_sim(np.array(ctxs[i][0].posterior),
-                               np.array(ctxs[j][0].posterior))
-                     + _arm_sim(ctxs[i][1], ctxs[j][1])
-                     + _arm_sim(ctxs[i][2], ctxs[j][2]))
-                A[i, j] = A[j, i] = 1.0 / (1.0 + np.exp(-s))
-        # kNN sparsify (keep strongest k per row, symmetrize)
-        if R > knn + 1:
-            keep = np.zeros_like(A, bool)
-            for i in range(R):
-                top = np.argsort(-A[i])[:knn]
-                keep[i, top] = True
-            A = np.where(keep | keep.T, A, 0.0)
+        ctxs = _contexts(ds, occ)
+        A = _pair_similarities(ds, ctxs, cluster_cps)
+        A = _filter_similarity(A, chunk.copy_num)
         d = A.sum(1) + 1e-9
         Dm = 1.0 / np.sqrt(d)
         L = np.eye(R) - Dm[:, None] * A * Dm[None, :]
         evals, evecs = np.linalg.eigh(L)
-        k = int(np.clip(np.sum(evals < EIG_THR), 1, chunk.copy_num))
+        pick_k = int(max(np.sum(evals < EIG_THR), 1))
+        k = int(min(chunk.cluster_num, pick_k))
         if k <= 1:
             asn = np.zeros(R, np.int64)
         else:
-            emb = evecs[:, :k]
-            post = np.array([np.exp(c[0].posterior) for c in ctxs])
+            emb = evecs[:, :pick_k] * Dm[:, None]
+            post = np.array([np.exp(np.asarray(c[0].posterior))
+                             if len(c[0].posterior) == chunk.cluster_num
+                             else np.zeros(chunk.cluster_num)
+                             for c in ctxs])
             if post.shape[1] > 0:
                 emb = np.concatenate([emb, post], axis=1)
-            # the reference normalizes COLUMNS (normalize_columns,
-            # phmm_likelihood_correction.rs:299) — not NJW row normalization —
-            # so the appended posterior features get equal scale to the
-            # eigenvector features; verified better on the minority-flip test
+            # the reference normalizes COLUMNS (normalize_columns, :299)
             emb = emb / (np.linalg.norm(emb, axis=0, keepdims=True) + 1e-9)
             asn = _kmeans_multi(emb, k, rng, restarts=20)
         old = np.array([ds.encoded_reads[ri].nodes[ni].cluster
                         for ri, ni in occ])
-        aris[cid] = adjusted_rand_index(old, asn)
+        # ARI restricted to posterior-biased nodes (adj_rand_on_biased)
+        biased = np.array([ds.encoded_reads[ri].nodes[ni].is_biased(BIAS_THR)
+                           for ri, ni in occ])
+        if biased.sum() >= 2:
+            ari = adjusted_rand_index(old[biased], asn[biased])
+            if np.isnan(ari):
+                ari = 1.0
+        else:
+            ari = adjusted_rand_index(old, asn)
+        aris[cid] = ari
         new_assignments[cid] = (asn, k)
     if not new_assignments:
         ds.push_stage("ClusteringCorrection", [])

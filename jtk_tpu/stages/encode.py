@@ -98,10 +98,8 @@ def encode(ds: DataSet, sim_thr: float | None = None, margin: int = 200,
     index = ChunkIndex(chunk_seqs, k=k)
     read_ascii = [r.seq for r in ds.raw_reads]
     read_codes = [seqmod.encode(s) for s in read_ascii]
-    cands = []
-    for i, codes in enumerate(read_codes):
-        cands.extend(index.candidates(codes, i, min_hits=min_hits,
-                                      margin=margin, stride=stride))
+    cands = index.candidates_batch(read_codes, min_hits=min_hits,
+                                   margin=margin, stride=stride)
     results = extend_candidates(cands, read_codes, chunk_seqs, W=W,
                                 margin=margin)
     per_read: dict[int, list] = {}

@@ -41,7 +41,14 @@ ROUND = 3
 
 
 def _difftype_of_edit(e: int) -> str:
-    return "sub" if e < 4 else ("del" if e == 4 else "ins")
+    """pos_to_bp_and_difftype (pseudo_mcmc.rs:167-177): copies count as
+    insertions."""
+    from ..ops.modtable import COPY_SIZE
+    if e < 4:
+        return "sub"
+    if e < 8 + COPY_SIZE:
+        return "ins"
+    return "del"
 
 
 def gather_pileups(ds: DataSet):
@@ -118,6 +125,17 @@ def _pileup_tables(reads, strands, template, params_f, params_r, W, Tpad,
     return lks, profs
 
 
+def _expected_of_cols(template, cols, gains):
+    """Homopolymer-conditioned expected gain per selected profile column."""
+    homop = homopolymer_length(template)
+    out = []
+    for c in cols:
+        bp = min(int(c) // NUM_EDIT, len(template) - 1)
+        hp = int(homop[bp]) if len(homop) else 1
+        out.append(gains.expected(hp, _difftype_of_edit(int(c) % NUM_EDIT)))
+    return np.array(out)
+
+
 def filter_variants(template: np.ndarray, profiles: np.ndarray,
                     strands: np.ndarray, gains: Gains, coverage: float,
                     copy_num: int):
@@ -127,23 +145,30 @@ def filter_variants(template: np.ndarray, profiles: np.ndarray,
     ncol = profiles.shape[1]
     homop = homopolymer_length(template)
 
-    # small-gain compression
-    expected = np.array([gains.expected_of(_difftype_of_edit(e))
-                         for e in range(NUM_EDIT)], np.float32)
     prof = profiles.reshape(R, -1, NUM_EDIT).copy()
-    prof[np.abs(prof) < 0.5 * expected[None, None, :]] = 0.0
-
     Trows = prof.shape[1]
+    from ..ops.modtable import COPY_SIZE, DEL_SIZE
+    hp = np.zeros(Trows, np.int32)
+    hp[:t_len] = homop
+
+    # small-gain compression, conditioned on homopolymer length
+    # (compress_small_gains, pseudo_mcmc.rs:141-165)
+    hp_idx = np.clip(hp, 1, 3)
+    exp_mat = np.zeros((Trows, NUM_EDIT), np.float32)
+    for e in range(NUM_EDIT):
+        dt = _difftype_of_edit(e)
+        for L in (1, 2, 3):
+            exp_mat[hp_idx == L, e] = gains.expected(L, dt)
+    prof[np.abs(prof) < 0.5 * exp_mat[None, :, :]] = 0.0
+
     pos_mask = np.zeros((Trows, NUM_EDIT), bool)
     valid_j = np.arange(Trows)
     in_range = (valid_j >= MASK_LENGTH) & (valid_j <= t_len - MASK_LENGTH)
     pos_mask[:, :] = in_range[:, None]
     # homopolymer constraints for ins/del
-    hp = np.zeros(Trows, np.int32)
-    hp[:t_len] = homop
-    pos_mask[:, 4] &= hp <= MAX_HOMOP_LENGTH
+    for d in range(DEL_SIZE):
+        pos_mask[:, 8 + COPY_SIZE + d] &= hp <= MAX_HOMOP_LENGTH
     for b in range(4):
-        prev_ok = np.ones(Trows, bool)
         jj = np.arange(Trows)
         prev_idx = np.clip(jj - 1, 0, t_len - 1)
         nxt_idx = np.clip(jj, 0, t_len - 1)
@@ -151,21 +176,27 @@ def filter_variants(template: np.ndarray, profiles: np.ndarray,
         tb[:t_len] = template
         prev_run = np.where((jj >= 1) & (tb[prev_idx] == b), hp[prev_idx] + 1, 1)
         nxt_run = np.where(tb[nxt_idx] == b, hp[nxt_idx] + 1, 1)
-        pos_mask[:, 5 + b] &= (prev_run <= MAX_HOMOP_LENGTH + 1) & \
+        pos_mask[:, 4 + b] &= (prev_run <= MAX_HOMOP_LENGTH + 1) & \
                               (nxt_run <= MAX_HOMOP_LENGTH + 1)
 
     pos = prof > POS_THR
     counts = pos.sum(axis=0)                      # (Trows, NUM_EDIT)
     tot_gain = np.where(pos, prof, 0.0).sum(axis=0)
 
-    # binomial-tail p-values (precompute per difftype over counts 0..R)
+    # binomial-tail p-values per (difftype, homopolymer length)
     pval_tab = {}
     for dt in ("sub", "del", "ins"):
-        pval_tab[dt] = np.array([gains.pvalue(dt, c, R) for c in range(R + 1)])
+        for L in (1, 2, 3):
+            pval_tab[(dt, L)] = np.array(
+                [gains.pvalue(dt, c, R, homop_len=L) for c in range(R + 1)])
     pvals = np.ones_like(tot_gain)
     for e in range(NUM_EDIT):
-        pvals[:, e] = pval_tab[_difftype_of_edit(e)][np.clip(counts[:, e], 0, R)]
-    exp_col = expected[None, :] * EXPT_GAIN_FACTOR
+        dt = _difftype_of_edit(e)
+        cc = np.clip(counts[:, e], 0, R)
+        for L in (1, 2, 3):
+            m = hp_idx == L
+            pvals[m, e] = pval_tab[(dt, L)][cc[m]]
+    exp_col = exp_mat * EXPT_GAIN_FACTOR
     keep = pos_mask & (counts * exp_col < tot_gain) & \
         (pvals < PVALUE / max(t_len, 1))
 
@@ -337,6 +368,102 @@ def cluster_chunks_mcmc(features: dict, coverage: float, seed: int,
     return results
 
 
+UPPER_COPY_NUM = 8  # local_clustering/mod.rs:85
+BRANCH_NUM = 4
+
+
+def _estim_copy_num(asn, k, copy_num, coverage):
+    """Distribute ``copy_num`` copies over k clusters by coverage residual
+    (local_clustering/mod.rs:223-243)."""
+    counts = np.bincount(asn, minlength=k).astype(float)
+    cps = np.ones(k, np.int64)
+    for _ in range(k, copy_num):
+        resid = (counts - coverage * cps) ** 2
+        cps[int(np.argmax(resid))] += 1
+    return cps
+
+
+def _phase_chunk(reads, strands, template, params_f, params_r, band, gains,
+                 coverage, copy_num, local_cov, seed):
+    """Profiles + variant filter + MCMC for one pileup against ``template``.
+    Returns (asn, post, score, k)."""
+    R = len(reads)
+    if copy_num < 2 or R <= copy_num:
+        return (np.zeros(R, np.int64), np.zeros((R, 1)), 0.0, 1)
+    Tpad = ((len(template) + 127) // 128) * 128
+    _lks, profs = _pileup_tables(reads, strands, template, params_f,
+                                 params_r, band, Tpad)
+    cols = filter_variants(template, profs, strands, gains, coverage,
+                           copy_num)
+    if len(cols) == 0:
+        return (np.zeros(R, np.int64), np.zeros((R, 1)), 0.0, 1)
+    X = profs[:, cols].astype(np.float32)
+    expected = _expected_of_cols(template, cols, gains)
+    feats = {0: dict(X=X, copy_num=copy_num, local_cov=local_cov,
+                     expected=expected)}
+    res = cluster_chunks_mcmc(feats, coverage, seed)
+    return res[0]
+
+
+def cluster_recursive(reads, strands, template, params_f, params_r, band,
+                      gains, coverage, copy_num, local_cov, seed,
+                      polish_cap: int = 60, depth: int = 0):
+    """Recursive 4-way split for copy_num >= 8
+    (clustering_recursive, local_clustering/mod.rs:126-190): cluster at
+    branch factor 4, re-polish each sub-pileup's consensus, recurse with the
+    residual copy numbers, and merge assignments/posteriors."""
+    if copy_num < UPPER_COPY_NUM or depth > 4:
+        return _phase_chunk(reads, strands, template, params_f, params_r,
+                            band, gains, coverage, copy_num, local_cov, seed)
+    asn, post, score, k = _phase_chunk(
+        reads, strands, template, params_f, params_r, band, gains, coverage,
+        BRANCH_NUM, local_cov, seed)
+    if k <= 1:
+        return asn, post, score, k
+    copy_numbers = _estim_copy_num(asn, k, copy_num, coverage)
+    rng = np.random.default_rng(seed + depth)
+    subs = []
+    for b in range(k):
+        idx = np.nonzero(asn == b)[0]
+        sub_reads = [reads[i] for i in idx]
+        sub_strands = strands[idx]
+        if len(sub_reads) >= 4:
+            sel = rng.permutation(len(sub_reads))[:polish_cap]
+            sub_tpl, _ = polish_until_converge(
+                template, [sub_reads[i] for i in sel], params_f, W=band)
+        else:
+            sub_tpl = template
+        subs.append(cluster_recursive(
+            sub_reads, sub_strands, sub_tpl, params_f, params_r, band,
+            gains, coverage, int(copy_numbers[b]),
+            max(len(sub_reads) / max(copy_numbers[b], 1), 1.0),
+            seed + 31 * (b + 1), polish_cap, depth + 1))
+    cluster_nums = [s[3] for s in subs]
+    offsets = np.concatenate([[0], np.cumsum(cluster_nums)])[:-1]
+    total_k = int(sum(cluster_nums))
+    total_score = float(score + sum(s[2] for s in subs))
+    pointers = [0] * k
+    merged_asn = np.zeros(len(reads), np.int64)
+    merged_post = np.full((len(reads), total_k), -30.0)
+    for i, (a, ps) in enumerate(zip(asn, post)):
+        sub_asn, sub_post = subs[a][0], subs[a][1]
+        j = pointers[a]
+        pointers[a] += 1
+        merged_asn[i] = offsets[a] + sub_asn[j]
+        # spread top-level posterior over each branch's clusters, then
+        # refine within the assigned branch (mod.rs:171-186)
+        row = np.empty(total_k)
+        for b in range(k):
+            p_b = ps[b] if b < len(ps) else -30.0
+            row[offsets[b]:offsets[b] + cluster_nums[b]] = \
+                p_b - np.log(max(cluster_nums[b], 1))
+        row[offsets[a]:offsets[a] + cluster_nums[a]] += \
+            sub_post[j][:cluster_nums[a]] + np.log(max(cluster_nums[a], 1))
+        row -= logsumexp(row)
+        merged_post[i] = row
+    return merged_asn, merged_post, total_score, total_k
+
+
 def _use_highest_gain(X: np.ndarray):
     """pseudo_mcmc.rs:673-693: split on the single best column."""
     gains = np.where(X > 0, X, 0.0).sum(0)
@@ -387,6 +514,21 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
         new_cigars = _refresh_cigars(reads, template, band)
         for (ri, ni), cg in zip(members, new_cigars):
             ds.encoded_reads[ri].nodes[ni].cigar = cg
+        # high-copy repeats: recursive 4-way split instead of one flat MCMC
+        if chunk.copy_num >= UPPER_COPY_NUM and \
+                len(reads) > chunk.copy_num:
+            asn, post, score, k = cluster_recursive(
+                reads, strands, template, params_f, params_r, band, gains,
+                coverage, chunk.copy_num,
+                len(reads) / max(chunk.copy_num, 1), seed + cid,
+                polish_cap=polish_cap)
+            chunk.cluster_num = int(max(k, 1))
+            chunk.score = float(score)
+            for (ri, ni), a, p in zip(members, asn, post):
+                node = ds.encoded_reads[ri].nodes[ni]
+                node.cluster = int(a)
+                node.posterior = [float(x) for x in p]
+            continue
         # 2. per-read profiles
         Tpad = ((len(template) + 127) // 128) * 128
         lks, profs = _pileup_tables(reads, strands, template, params_f,
@@ -404,9 +546,7 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
                 node.posterior = [0.0]
             continue
         X = profs[:, cols].astype(np.float32)
-        expected_per_col = np.array(
-            [gains.expected_of(_difftype_of_edit(int(c % NUM_EDIT)))
-             for c in cols])
+        expected_per_col = _expected_of_cols(template, cols, gains)
         features[cid] = dict(X=X, copy_num=chunk.copy_num,
                              local_cov=len(reads) / max(chunk.copy_num, 1),
                              expected=expected_per_col, members=members)

@@ -41,17 +41,26 @@ def polish_segments_files(reads_path: str, contigs_path: str, aln_path: str,
     reads = {name: seq for name, _d, seq in read_fasta(reads_path)}
     contigs, is_gfa = _load_contigs(contigs_path)
     alns = list(read_sam(aln_path) if fmt == "sam" else read_paf(aln_path))
-    # primary selection: best alignment per read
-    best = {}
-    for a in alns:
-        span = a.qend - a.qstart
-        if a.qname not in best or span > best[a.qname].qend - best[a.qname].qstart:
-            best[a.qname] = a
-    by_contig = {}
-    for a in best.values():
-        by_contig.setdefault(a.tname, []).append(a)
     params = PHMMParams.from_hmmparam(HMMParam())
     rng = np.random.default_rng(seed)
+    # probabilistic primary selection (register_sam,
+    # polish_segments.rs:100-136): per read, repeatedly softmax-sample one
+    # alignment by cigar score and drop others overlapping it >10% on the
+    # read, so split reads keep their non-overlapping pieces
+    per_read: dict[str, list] = {}
+    for a in alns:
+        per_read.setdefault(a.qname, []).append(a)
+    by_contig: dict[str, list] = {}
+    for qname, bucket in per_read.items():
+        rlen = max((a.qend for a in bucket), default=1)
+        while bucket:
+            scores = np.array([a.score for a in bucket], float)
+            w = np.exp(scores - scores.max())
+            pick = bucket[rng.choice(len(bucket), p=w / w.sum())]
+            bucket = [a for a in bucket if a is not pick and
+                      (min(a.qend, pick.qend) - max(a.qstart, pick.qstart))
+                      < 0.1 * max(rlen, 1)]
+            by_contig.setdefault(pick.tname, []).append(pick)
     out = {}
     for tname, cseq_str in contigs.items():
         cseq = seqmod.encode(cseq_str)
@@ -95,8 +104,8 @@ def polish_segments_files(reads_path: str, contigs_path: str, aln_path: str,
             parts.append(template)
         stitched = None
         for tpl in parts:
-            stitched = tpl if stitched is None else _stitch(stitched, tpl,
-                                                            2 * overlap)
+            stitched = tpl if stitched is None \
+                else _stitch(stitched, tpl, 2 * overlap)[0]
         out[tname] = seqmod.decode(stitched).decode() if stitched is not None \
             else cseq_str
     with open(out_path, "w") as f:

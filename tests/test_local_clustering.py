@@ -62,3 +62,68 @@ def test_local_clustering_no_variants_single_cluster():
         ds.encoded_reads.append(EncodedRead(i, len(seq), "", "", [], [node]))
     local_clustering(ds, seed=3, flips_per_read=400, restarts=6)
     assert ds.selected_chunks[0].cluster_num == 1
+
+
+def test_tandem_dup_haplotypes_phase():
+    """Two haplotypes differing only by a 3bp tandem duplication phase
+    correctly — exercises the COPY edit rows of the modification table."""
+    from jtk_tpu.ops import oracle
+    rng = np.random.default_rng(7)
+    tlen = 400
+    hap0 = sim.random_genome(rng, tlen)
+    hap1 = oracle.apply_edit(hap0, "C", 198, 3)
+    ds = DataSet.with_minimum_data("sim.fa", [], ReadType.ONT)
+    ds.selected_chunks = [Chunk(0, seqmod.decode(hap0).decode(), 1, 2)]
+    truth = []
+    for i in range(36):
+        h = i % 2
+        codes = sim.noisy_read(rng, [hap0, hap1][h], 0.04)
+        seq = seqmod.decode(codes).decode()
+        ds.raw_reads.append(RawRead(f"r{i}", "", i, seq))
+        node = Node.new(0, bool(i % 4 < 2), seq, [("M", len(seq))], 0, 1)
+        ds.encoded_reads.append(EncodedRead(i, len(seq), "", "", [], [node]))
+        truth.append(h)
+    local_clustering(ds, seed=9, flips_per_read=600, restarts=8)
+    assigns = np.array([er.nodes[0].cluster for er in ds.encoded_reads])
+    ari = adjusted_rand_index(np.array(truth), assigns)
+    assert ds.selected_chunks[0].cluster_num == 2
+    assert ari > 0.7, ari
+
+
+def test_recursive_clustering_high_copy():
+    """copy_num >= 8 goes through the recursive 4-way split and still finds
+    the planted structure."""
+    rng = np.random.default_rng(13)
+    tlen = 300
+    base = sim.random_genome(rng, tlen)
+    haps = []
+    for h in range(8):
+        hap = base.copy()
+        # plant 4 distinct SNVs per haplotype (diverged copies of a repeat)
+        for p in rng.choice(np.arange(20, tlen - 20), size=4, replace=False):
+            hap[p] = (hap[p] + 1 + rng.integers(0, 3)) % 4
+        haps.append(hap)
+    ds = DataSet.with_minimum_data("sim.fa", [], ReadType.ONT)
+    ds.selected_chunks = [Chunk(0, seqmod.decode(base).decode(),
+                                cluster_num=1, copy_num=8)]
+    # a single 8-copy chunk breaks the median/2 haploid-coverage heuristic;
+    # protect the true per-copy coverage (10) like the reference's TOML does
+    ds.coverage.value = 10.0
+    ds.coverage.protected = True
+    truth = []
+    for i in range(8 * 10):
+        h = i % 8
+        codes = sim.noisy_read(rng, haps[h], 0.04)
+        seq = seqmod.decode(codes).decode()
+        ds.raw_reads.append(RawRead(f"r{i}", "", i, seq))
+        node = Node.new(0, bool(i % 4 < 2), seq, [("M", len(seq))], 0, 1)
+        ds.encoded_reads.append(EncodedRead(i, len(seq), "", "", [], [node]))
+        truth.append(h)
+    local_clustering(ds, seed=21, flips_per_read=500, restarts=6)
+    chunk = ds.selected_chunks[0]
+    assert chunk.cluster_num >= 4, chunk.cluster_num
+    assigns = np.array([er.nodes[0].cluster for er in ds.encoded_reads])
+    ari = adjusted_rand_index(np.array(truth), assigns)
+    assert ari > 0.5, (ari, chunk.cluster_num)
+    for er in ds.encoded_reads:
+        assert len(er.nodes[0].posterior) == chunk.cluster_num

@@ -53,6 +53,9 @@ def test_identity_sub_equals_baseline():
         assert abs(tab[j, int(r[j])] - lk) < 2e-2, (j, tab[j, int(r[j])], lk)
 
 
+DEL1 = 11  # del length-1 column (8 + COPY_SIZE)
+
+
 def test_table_matches_bruteforce():
     rng = np.random.default_rng(1)
     r = rng.integers(0, 4, size=30).astype(np.int8)
@@ -66,11 +69,54 @@ def test_table_matches_bruteforce():
             want = oracle.phmm_forward(q, oracle.apply_edit(r, "S", j, b), PARD)
             assert abs(tab[j, b] - want) < 3e-2, ("S", j, b, tab[j, b], want)
         want = oracle.phmm_forward(q, oracle.apply_edit(r, "D", j), PARD)
-        assert abs(tab[j, 4] - want) < 3e-2, ("D", j, tab[j, 4], want)
+        assert abs(tab[j, DEL1] - want) < 3e-2, ("D", j, tab[j, DEL1], want)
     for j in [0, 7, 15, 30]:  # insert positions include T
         for b in range(4):
             want = oracle.phmm_forward(q, oracle.apply_edit(r, "I", j, b), PARD)
-            assert abs(tab[j, 5 + b] - want) < 3e-2, ("I", j, b, tab[j, 5 + b], want)
+            assert abs(tab[j, 4 + b] - want) < 3e-2, ("I", j, b, tab[j, 4 + b], want)
+
+
+def test_multi_del_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    r = rng.integers(0, 4, size=30).astype(np.int8)
+    q = _mutate(rng, r, 0.08)
+    lk, tab = _table(q, r)
+    for d in (2, 3):
+        for j in [0, 4, 13, 30 - d]:
+            want = oracle.phmm_forward(q, oracle.apply_edit(r, "D", j, d),
+                                       PARD)
+            got = tab[j, DEL1 + d - 1]
+            assert abs(got - want) < 3e-2, ("D", d, j, got, want)
+
+
+def test_copy_matches_bruteforce():
+    rng = np.random.default_rng(4)
+    r = rng.integers(0, 4, size=30).astype(np.int8)
+    q = _mutate(rng, r, 0.08)
+    lk, tab = _table(q, r)
+    # c=1 is exact (equals inserting t[j]); c>=2 drops query-insertion
+    # states between the copied columns, so it lower-bounds the true LK
+    for c, tol in ((1, 3e-2), (2, 0.6), (3, 0.6)):
+        for j in [0, 4, 13, 30 - c]:
+            want = oracle.phmm_forward(q, oracle.apply_edit(r, "C", j, c),
+                                       PARD)
+            got = tab[j, 8 + c - 1]
+            assert got <= want + 3e-2, ("C", c, j, got, want)
+            assert abs(got - want) < tol, ("C", c, j, got, want)
+
+
+def test_copy_detects_tandem_duplication():
+    """A read carrying a 3bp tandem dup prefers the copy edit."""
+    rng = np.random.default_rng(5)
+    r = rng.integers(0, 4, size=40).astype(np.int8)
+    jpos, c = 18, 3
+    r_hap = oracle.apply_edit(r, "C", jpos, c)
+    gains = []
+    for _ in range(5):
+        q = _mutate(rng, r_hap, 0.03)
+        lk, tab = _table(q, r)
+        gains.append(tab[jpos, 8 + c - 1] - lk)
+    assert np.mean(gains) > 1.0, gains
 
 
 def test_true_variant_has_positive_gain():
