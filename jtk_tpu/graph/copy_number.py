@@ -407,17 +407,35 @@ def reduce_simple_path(g: DitchGraph):
     return node_to_pathid, path_nodes, conv_edges, edge_terminal, set(in_path)
 
 
-def assign_copy_numbers(g: DitchGraph, hap_cov: float) -> None:
-    """Assign node/edge copy numbers by the flow optimizer on the
-    simple-path-reduced graph (assign_copy_number_flow,
-    update_copy_numbers.rs:243-251)."""
+def assign_copy_numbers(g: DitchGraph, hap_cov: float,
+                        method: str = "flow") -> None:
+    """Assign node/edge copy numbers on the simple-path-reduced graph.
+
+    ``method`` selects the solver like the reference's COPYNUM_ALGORITHM
+    (update_copy_numbers.rs:37-46): "flow" (production), "gibbs", "mcmc"
+    (MRF), or "mst"."""
     if not g.nodes:
         return
     node_to_pathid, path_nodes, conv_edges, edge_terminal, in_path = \
         reduce_simple_path(g)
-    fg = FlowGraph(path_nodes, conv_edges, hap_cov)
-    fg.optimize()
-    node_cp, edge_cp = fg.copy_numbers()
+    if method == "flow":
+        fg = FlowGraph(path_nodes, conv_edges, hap_cov)
+        fg.optimize()
+        node_cp, edge_cp = fg.copy_numbers()
+    elif method == "gibbs":
+        from .copy_number_alt import estimate_copy_number_gbs
+        node_cp, edge_cp = estimate_copy_number_gbs(
+            [w for w, _l in path_nodes], conv_edges, hap_cov)
+    elif method == "mcmc":
+        from .copy_number_alt import estimate_copy_number_mcmc
+        node_cp, edge_cp = estimate_copy_number_mcmc(
+            path_nodes, conv_edges, hap_cov)
+    elif method == "mst":
+        from .copy_number_alt import estimate_copy_number_mst
+        node_cp, edge_cp = estimate_copy_number_mst(
+            path_nodes, conv_edges, hap_cov)
+    else:
+        raise ValueError(f"unknown copy-number method {method!r}")
     for n, dn in g.nodes.items():
         dn.copy_num = int(node_cp[node_to_pathid[n]])
     for key, e in g.edges.items():

@@ -247,64 +247,118 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     """
     if not cands:
         return []
-    from ..ops.banded_align import collect_align_cigar, dispatch_align_cigar
-    Qpad = max(len(chunk_seqs[c.chunk_id]) for c in cands)
-    Qpad = ((Qpad + 127) // 128) * 128
+    import jax
+
+    from ..ops.banded_align import _extend_indexed, decode_indexed
+    cid_list = sorted(chunk_seqs)
+    cidx_of = {cid: i for i, cid in enumerate(cid_list)}
+    Qpad = ((max(len(chunk_seqs[c]) for c in cid_list) + 127) // 128) * 128
     Tpad = ((max(c.window_len for c in cands) + 127) // 128) * 128
-    # revcomp each read at most once
-    rc_cache: dict[int, np.ndarray] = {}
+    Lmax = ((max(len(r) for r in read_codes) + 127) // 128) * 128
+    chunks_blob = np.full((len(cid_list), Qpad), 4, np.int8)
+    chunk_lens = np.zeros(len(cid_list), np.int32)
+    for i, cid in enumerate(cid_list):
+        s = chunk_seqs[cid]
+        chunks_blob[i, :len(s)] = s
+        chunk_lens[i] = len(s)
+    reads_blob = np.full((len(read_codes), Lmax), 4, np.int8)
+    read_lens = np.zeros(len(read_codes), np.int32)
+    for i, r in enumerate(read_codes):
+        reads_blob[i, :len(r)] = r
+        read_lens[i] = len(r)
+    # blobs cross the link ONCE; per-candidate metadata is tiny.  With a
+    # multi-device mesh the candidate batch is sharded over `data` (blobs
+    # replicated): candidates are independent, so this is the reference's
+    # rayon-over-reads parallelism as pure SPMD (SURVEY.md §2.5).
+    from ..parallel import get_mesh
+    mesh = get_mesh()
+    if mesh is not None and batch % mesh.size == 0:
+        from ..parallel import replicate, shard_leading
+        dev = tuple(replicate(mesh, reads_blob, read_lens, chunks_blob,
+                              chunk_lens))
 
-    def strand_read(c):
-        if c.is_forward:
-            return read_codes[c.read_idx]
-        got = rc_cache.get(c.read_idx)
-        if got is None:
-            got = seqmod.revcomp(read_codes[c.read_idx])
-            rc_cache[c.read_idx] = got
-        return got
+        def put_cands(*arrs):
+            return shard_leading(mesh, *arrs)
+    else:
+        dev = (jax.device_put(reads_blob), jax.device_put(read_lens),
+               jax.device_put(chunks_blob), jax.device_put(chunk_lens))
 
-    # phase 1: build + async-dispatch every batch (device computes ahead
-    # while the host is still packing / later decoding)
+        def put_cands(*arrs):
+            return arrs
     dispatched = []
     for s in range(0, len(cands), batch):
-        chunk_batch = cands[s:s + batch]
+        grp = cands[s:s + batch]
         B = batch  # fixed batch size: one compilation per shape bucket
-        qs = np.full((B, Qpad), 4, np.int8)
-        rs = np.full((B, Tpad), 4, np.int8)
-        q_lens = np.ones(B, np.int32)
-        t_lens = np.ones(B, np.int32)
-        offs = np.zeros((B, Qpad + 1), np.int32)
-        wstarts = np.zeros(B, np.int64)
-        for b, c in enumerate(chunk_batch):
-            cseq = chunk_seqs[c.chunk_id]
-            rseq = strand_read(c)
-            a = max(c.window_start, 0)
-            bnd = min(c.window_start + c.window_len, len(rseq))
-            win = rseq[a:bnd]
-            qs[b, :len(cseq)] = cseq
-            rs[b, :len(win)] = win
-            q_lens[b] = len(cseq)
-            t_lens[b] = len(win)
-            # expected window position of chunk pos 0:
-            diag = c.window_start + margin - a
-            offs[b] = diagonal_offsets(len(cseq), diag, len(win), Qpad, W)
-            wstarts[b] = a
-        dispatched.append((chunk_batch, wstarts,
-                           dispatch_align_cigar(qs, rs, offs, q_lens, t_lens,
-                                                W, "infix")))
-    # phase 2: collect + decode in dispatch order
+        cr = np.zeros(B, np.int32)
+        cc = np.zeros(B, np.int32)
+        cf = np.ones(B, bool)
+        cw = np.zeros(B, np.int32)
+        for b, c in enumerate(grp):
+            cr[b] = c.read_idx
+            cc[b] = cidx_of[c.chunk_id]
+            cf[b] = c.is_forward
+            cw[b] = c.window_start
+        cr, cc, cf, cw = put_cands(cr, cc, cf, cw)
+        handle = _extend_indexed(*dev, cr, cc, cf, cw, W, Qpad, Tpad, margin)
+        dispatched.append((grp, handle))
     results = []
-    for chunk_batch, wstarts, handle in dispatched:
-        res = collect_align_cigar(handle)
-        for b, c in enumerate(chunk_batch):
-            results.append({
+    overflow = []
+    for grp, handle in dispatched:
+        q_lens = [len(chunk_seqs[c.chunk_id]) for c in grp]
+        q_lens += [1] * (batch - len(grp))
+        decoded = decode_indexed(*handle, q_lens)
+        for c, (score, sj, ej, cigar, valid) in zip(grp, decoded):
+            rec = {
                 "cand": c,
-                "dist": int(res["score"][b]),
-                "ops": res["cigar"][b],
-                "span_start": int(wstarts[b] + res["start_j"][b]),
-                "span_end": int(wstarts[b] + res["end_j"][b]),
-            })
+                "dist": score if valid else (1 << 30),
+                "ops": cigar,
+                "span_start": sj,
+                "span_end": ej,
+            }
+            if not valid:
+                overflow.append(rec)
+            results.append(rec)
+    if overflow:
+        # rare rows (tiny windows / >DEL_TOPK deletion runs): redo on the
+        # legacy per-candidate path
+        redo = _extend_legacy([r["cand"] for r in overflow], read_codes,
+                              chunk_seqs, W, margin)
+        for rec, new in zip(overflow, redo):
+            rec.update(new)
     return results
+
+
+def _extend_legacy(cands, read_codes, chunk_seqs, W, margin):
+    from ..ops.banded_align import align_with_cigar_batch
+    out = []
+    for c in cands:
+        cseq = chunk_seqs[c.chunk_id]
+        rseq = read_codes[c.read_idx]
+        if not c.is_forward:
+            rseq = seqmod.revcomp(rseq)
+        a = max(c.window_start, 0)
+        bnd = min(c.window_start + c.window_len, len(rseq))
+        win = rseq[a:bnd]
+        if len(win) < 8:
+            out.append({"dist": 1 << 30, "ops": [],
+                        "span_start": a, "span_end": a})
+            continue
+        Qp = ((len(cseq) + 127) // 128) * 128
+        Tp = ((len(win) + 127) // 128) * 128
+        qs = np.full((1, Qp), 4, np.int8)
+        rs = np.full((1, Tp), 4, np.int8)
+        qs[0, :len(cseq)] = cseq
+        rs[0, :len(win)] = win
+        diag = c.window_start + margin - a
+        off = diagonal_offsets(len(cseq), diag, len(win), Qp, W)
+        res = align_with_cigar_batch(qs, rs, off[None],
+                                     np.array([len(cseq)], np.int32),
+                                     np.array([len(win)], np.int32), W,
+                                     "infix")
+        out.append({"dist": int(res["score"][0]), "ops": res["cigar"][0],
+                    "span_start": int(a + res["start_j"][0]),
+                    "span_end": int(a + res["end_j"][0])})
+    return out
 
 
 def flip_cigar(ops):

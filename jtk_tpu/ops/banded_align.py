@@ -216,12 +216,131 @@ def _banded_align_cigar_batch(qs, rs, offsets, q_lens, t_lens, W: int,
     k = min(DEL_TOPK, Q)
     dv, di = jax.lax.top_k(dels.astype(jnp.int32), k)
     n_runs = jnp.sum((dels > 0).astype(jnp.int32), axis=1)
-    return (score, end_j, start_j, ops_packed,
-            dv.astype(jnp.uint16), di.astype(jnp.uint16), n_runs)
+    # pack into THREE buffers (a remote link pays per-array fetch overhead):
+    # meta (B,4) int32, ops bits (B, Qp/8) uint8, del runs (B, 2k) uint16
+    meta = jnp.stack([score.astype(jnp.int32), end_j.astype(jnp.int32),
+                      start_j.astype(jnp.int32), n_runs], axis=1)
+    delpack = jnp.concatenate([dv.astype(jnp.uint16),
+                               di.astype(jnp.uint16)], axis=1)
+    return meta, ops_packed, delpack
 
 
 _KM = {1: "M", 2: "I", 3: "D"}
 DEL_TOPK = 192
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Qpad", "Tpad", "margin"))
+def _extend_indexed(reads_blob, read_lens, chunks_blob, chunk_lens,
+                    cand_read, cand_chunk, cand_fwd, cand_wstart,
+                    W: int, Qpad: int, Tpad: int, margin: int):
+    """Candidate verification with on-device window gather + band setup.
+
+    Only the read/chunk blobs (sent once per encode) and tiny per-candidate
+    metadata cross the host link — the per-candidate (B, Qpad)/(B, Tpad)
+    buffers and the (B, Qpad+1) offset tables that used to dominate transfer
+    are built on device.
+    """
+    Lpad = reads_blob.shape[1]
+
+    def one(ridx, cidx, fwd, wstart):
+        read = reads_blob[ridx]
+        L = read_lens[ridx]
+        # reverse-complement in strand coords: flip, then shift the padding
+        # (which lands at the front after the flip) back to the tail
+        rc_full = jnp.where(read[::-1] <= 3, 3 - read[::-1],
+                            read[::-1]).astype(jnp.int8)
+        rc = jax.lax.dynamic_slice(
+            jnp.concatenate([rc_full, np.full(Lpad, 4, np.int8)]),
+            (Lpad - L,), (Lpad,))
+        oriented = jnp.where(fwd, read, rc)
+        clen = chunk_lens[cidx]
+        wlen = clen + 2 * margin
+        a = jnp.maximum(wstart, 0)
+        t_len = jnp.clip(jnp.minimum(wstart + wlen, L) - a, 0, Tpad - 1)
+        win = jax.lax.dynamic_slice(
+            jnp.concatenate([oriented, np.full(Tpad, 4, np.int8)]),
+            (a,), (Tpad,))
+        kmask = np.arange(Tpad) < t_len
+        win = jnp.where(kmask, win, 4).astype(jnp.int8)
+        cseq = chunks_blob[cidx]
+        q_len = clen
+        diag = wstart + margin - a
+        # diagonal_offsets on device (same formula, unit increments)
+        ii = np.arange(Qpad + 1)
+        hi = jnp.maximum(t_len - W + 1, 0)
+        off = jnp.clip(diag + ii - W // 2, 0, hi)
+        off_q = jnp.clip(diag + q_len - W // 2, 0, hi)
+        off = jnp.where(ii <= q_len, off, off_q).astype(jnp.int32)
+        score, end_j, ptrs, _last, Ls = _banded_edit(
+            cseq, win, off, q_len, t_len, W, "infix")
+        dels, ops, start_j = _traceback_on_device(ptrs, Ls, off, q_len,
+                                                  end_j, W)
+        valid = t_len >= clen // 2
+        return score, end_j, start_j, dels, ops, valid, a
+
+    score, end_j, start_j, dels, ops, valid, astart = jax.vmap(one)(
+        cand_read, cand_chunk, cand_fwd, cand_wstart)
+    B, Q = ops.shape
+    Qp = (Q + 7) // 8 * 8
+    bits = jnp.pad((ops == 2).astype(jnp.uint8), ((0, 0), (0, Qp - Q)))
+    bits = bits.reshape(B, Qp // 8, 8)
+    weights = np.array([1, 2, 4, 8, 16, 32, 64, 128], np.uint8)
+    ops_packed = jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+    k = min(DEL_TOPK, Q)
+    dv, di = jax.lax.top_k(dels.astype(jnp.int32), k)
+    n_runs = jnp.sum((dels > 0).astype(jnp.int32), axis=1)
+    meta = jnp.stack([score.astype(jnp.int32), end_j.astype(jnp.int32),
+                      start_j.astype(jnp.int32), n_runs,
+                      valid.astype(jnp.int32), astart.astype(jnp.int32)],
+                     axis=1)
+    delpack = jnp.concatenate([dv.astype(jnp.uint16),
+                               di.astype(jnp.uint16)], axis=1)
+    return meta, ops_packed, delpack
+
+
+def extend_indexed_batch(reads_blob, read_lens, chunks_blob, chunk_lens,
+                         cand_read, cand_chunk, cand_fwd, cand_wstart,
+                         W: int, Qpad: int, Tpad: int, margin: int,
+                         q_lens):
+    """Host wrapper: dispatch + decode one _extend_indexed batch.
+    Returns list of (score, start_j_abs, end_j_abs, cigar, valid)."""
+    meta, ops_packed, delpack = _extend_indexed(
+        reads_blob, read_lens, chunks_blob, chunk_lens,
+        jnp.asarray(cand_read, jnp.int32), jnp.asarray(cand_chunk, jnp.int32),
+        jnp.asarray(cand_fwd, bool), jnp.asarray(cand_wstart, jnp.int32),
+        W, Qpad, Tpad, margin)
+    return decode_indexed(meta, ops_packed, delpack, q_lens)
+
+
+def decode_indexed(meta, ops_packed, delpack, q_lens):
+    meta = np.asarray(meta)
+    delpack = np.asarray(delpack)
+    score = meta[:, 0]
+    end_j = meta[:, 1]
+    start_j = meta[:, 2]
+    n_runs = meta[:, 3]
+    valid = meta[:, 4].astype(bool)
+    astart = meta[:, 5]
+    kh = delpack.shape[1] // 2
+    del_vals = delpack[:, :kh]
+    del_idx = delpack[:, kh:].astype(np.int64)
+    Q = ops_packed.shape[1] * 8
+    is_ins = np.unpackbits(np.asarray(ops_packed), axis=1,
+                           bitorder="little")[:, :Q].astype(bool)
+    out = []
+    for b in range(len(score)):
+        ql = int(q_lens[b])
+        dels_b = np.zeros(ql, np.int64)
+        nz = del_vals[b] > 0
+        idx = del_idx[b][nz]
+        okm = idx < ql
+        dels_b[idx[okm]] = del_vals[b][nz][okm]
+        cigar = _expand_cigar(is_ins[b, :ql][::-1], dels_b[::-1], 0)
+        too_many = n_runs[b] > del_vals.shape[1]
+        out.append((int(score[b]), int(astart[b] + start_j[b]),
+                    int(astart[b] + end_j[b]), cigar,
+                    bool(valid[b]) and not too_many))
+    return out
 
 
 def _expand_cigar(is_ins_fwd, dels_fwd, lead_d):
@@ -274,13 +393,16 @@ def align_with_cigar_batch(qs, rs, offsets, q_lens, t_lens, W: int,
 
 
 def _decode_align_results(handle, qs, rs, offsets, q_lens, t_lens, W, mode):
-    (score, end_j, start_j, ops_packed, del_vals, del_idx, n_runs) = handle
-    score = np.asarray(score).copy()
-    end_j = np.asarray(end_j).copy()
-    start_j = np.asarray(start_j).copy()
-    del_vals = np.asarray(del_vals)
-    del_idx = np.asarray(del_idx).astype(np.int64)
-    n_runs = np.asarray(n_runs)
+    meta, ops_packed, delpack = handle
+    meta = np.asarray(meta)
+    delpack = np.asarray(delpack)
+    score = meta[:, 0].copy()
+    end_j = meta[:, 1].copy()
+    start_j = meta[:, 2].copy()
+    n_runs = meta[:, 3]
+    k_half = delpack.shape[1] // 2
+    del_vals = delpack[:, :k_half]
+    del_idx = delpack[:, k_half:].astype(np.int64)
     Q = qs.shape[1]
     is_ins = np.unpackbits(np.asarray(ops_packed), axis=1,
                            bitorder="little")[:, :Q].astype(bool)

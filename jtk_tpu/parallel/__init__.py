@@ -32,6 +32,36 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
+_MESH_CACHE: list = []
+
+
+def get_mesh() -> Mesh | None:
+    """The production mesh: all local devices when there are >1 (set
+    JTK_TPU_DISABLE_MESH=1 to force single-device execution)."""
+    import os
+    if os.environ.get("JTK_TPU_DISABLE_MESH"):
+        return None
+    if not _MESH_CACHE:
+        devs = jax.devices()
+        _MESH_CACHE.append(make_mesh() if len(devs) > 1 else None)
+    return _MESH_CACHE[0]
+
+
+def shard_leading(mesh: Mesh, *arrays):
+    """device_put each array sharded on its leading axis over ``data``."""
+    from jax.sharding import NamedSharding
+    out = []
+    for a in arrays:
+        spec = P("data", *([None] * (np.ndim(a) - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out
+
+
+def replicate(mesh: Mesh, *arrays):
+    from jax.sharding import NamedSharding
+    return [jax.device_put(a, NamedSharding(mesh, P())) for a in arrays]
+
+
 # ---------------------------------------------------------------------------
 # HMM parameterization for gradient EM
 # ---------------------------------------------------------------------------
@@ -66,27 +96,52 @@ def _batch_neg_lk(theta, qs, template, offsets, q_lens, t_len, W: int):
     return -jnp.sum(lks), jnp.asarray(qs.shape[0], jnp.float32)
 
 
-def make_train_step(mesh: Mesh, W: int, lr: float = 1e-2):
+def make_train_step(mesh: Mesh, W: int, lr: float = 0.05,
+                    clip: float = 1.0):
     """Data-parallel gradient-EM step over a read shard.
 
-    Reads (qs/offsets/q_lens) are sharded over ``data``; theta + template are
-    replicated; gradients are psum-merged across the mesh.
+    Reads (qs/offsets/q_lens/weights) are sharded over ``data``; theta and
+    the template are replicated.  Per-read gradients are all_gathered and
+    reduced in a REPLICATED fixed-shape sum, so the update is bit-identical
+    at any mesh size (a psum of per-shard partials would reorder the float
+    reduction and break the golden determinism guarantee).  Weights mask out
+    padding reads.  The gradient is sanitized, per-base-pair normalized and
+    globally clipped — the production model_tune semantics.
     """
 
-    def step(theta, qs, template, offsets, q_lens, t_len):
-        (loss, n), grads = jax.value_and_grad(
-            lambda th: _batch_neg_lk(th, qs, template, offsets, q_lens,
-                                     t_len, W), has_aux=True)(theta)
-        loss = jax.lax.psum(loss, "data")
-        n = jax.lax.psum(n, "data")
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
-        new_theta = jax.tree.map(lambda t, g: t - lr * g / n, theta, grads)
-        return new_theta, loss / n
+    def step(theta, qs, template, offsets, q_lens, t_len, wts):
+        def per_read_neglk(th, q, off, ql, w):
+            params = theta_to_params(th)
+            lk, _, _, _ = forward_banded(q, template, off, ql, t_len,
+                                         params, W)
+            return -lk * w
+
+        def one(q, off, ql, w):
+            loss, g = jax.value_and_grad(per_read_neglk)(theta, q, off, ql, w)
+            return loss, g
+
+        losses, grads = jax.vmap(one)(qs, offsets, q_lens, wts)
+        losses = jax.lax.all_gather(losses, "data", tiled=True)
+        grads = jax.tree.map(
+            lambda g: jax.lax.all_gather(g, "data", tiled=True), grads)
+        ql_all = jax.lax.all_gather(q_lens, "data", tiled=True)
+        w_all = jax.lax.all_gather(wts, "data", tiled=True)
+        n = jnp.sum(w_all)
+        total_bp = jnp.sum(ql_all.astype(jnp.float32) * w_all)
+        g = jax.tree.map(lambda x: jnp.sum(x, axis=0), grads)
+        g = jax.tree.map(
+            lambda gg: jnp.where(jnp.isfinite(gg), gg, 0.0)
+            / jnp.maximum(total_bp, 1.0), g)
+        gnorm = jnp.sqrt(sum(jnp.sum(gg ** 2) for gg in jax.tree.leaves(g)))
+        scale = jnp.minimum(1.0, clip / (gnorm + 1e-9))
+        new_theta = jax.tree.map(lambda t, gg: t - lr * scale * gg, theta, g)
+        loss = jnp.sum(losses) / jnp.maximum(n, 1.0)
+        return new_theta, loss
 
     from jax.experimental.shard_map import shard_map
     return jax.jit(shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P("data"), P(), P("data"), P("data"), P()),
+        in_specs=(P(), P("data"), P(), P("data"), P("data"), P(), P("data")),
         out_specs=(P(), P()),
         check_rep=False,
     ))

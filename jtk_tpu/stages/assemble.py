@@ -53,7 +53,8 @@ def clean_up_graph_for_assemble(g: DitchGraph, cov: float,
         g.remove_zero_copy_elements(0.8)
         g.remove_zero_copy_path(0.1)
         if encoded_reads is not None:
-            resolve_repeats(g, encoded_reads, min_span=min_span, llr_thr=llr)
+            resolve_repeats(g, encoded_reads, min_span=min_span, llr_thr=llr,
+                            bimatch=True, use_branch=False)
         g.zip_up_overclustering(2)
     assign_copy_numbers(g, cov)
     g.remove_zero_copy_elements(0.9)
@@ -65,8 +66,12 @@ def clean_up_graph_for_assemble(g: DitchGraph, cov: float,
     g.zip_up_overclustering_dev()
     if encoded_reads is not None:
         for llr in llrs:
-            resolve_repeats(g, encoded_reads, min_span=min_span, llr_thr=llr)
+            resolve_repeats(g, encoded_reads, min_span=min_span, llr_thr=llr,
+                            bimatch=False, use_branch=True)
     assign_copy_numbers(g, cov)
+    if encoded_reads is not None:
+        from ..graph.foci import bypass_repeats
+        bypass_repeats(g, encoded_reads, llr_thr=min_llr, min_span=min_span)
     g.remove_zero_copy_elements(100.0)
 
 

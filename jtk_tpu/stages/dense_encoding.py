@@ -30,37 +30,46 @@ from .util import update_coverage
 
 logger = logging.getLogger(__name__)
 
-MIN_SPAN_LEN = 400
-MAX_NEW_LEN = 10000
+MIN_SPAN_LEN = 400     # CONS_MIN_LENGTH
+MAX_NEW_LEN = 10000    # CONS_MAX_LENGTH
 
 
-def _collect_spanning(ds: DataSet, entry_key, exit_key):
-    """Read subsequences spanning from the entry node to the exit node."""
-    spans = []
-    for er in ds.encoded_reads:
-        hits_in = [n for n in er.nodes
-                   if (n.chunk, n.cluster) == entry_key]
-        hits_out = [n for n in er.nodes
-                    if (n.chunk, n.cluster) == exit_key]
-        if not hits_in or not hits_out:
-            continue
-        raw = er.recover_raw_read()
-        a = hits_in[0]
-        b = hits_out[0]
-        lo = min(a.position_from_start, b.position_from_start)
-        hi = max(a.position_from_start + a.query_length(),
-                 b.position_from_start + b.query_length())
-        if MIN_SPAN_LEN <= hi - lo <= MAX_NEW_LEN:
-            seg = seqmod.encode(raw[lo:hi])
-            # orient consistently: forward traversal of entry node
-            if not a.is_forward:
-                seg = seqmod.revcomp(seg)
-            spans.append(seg)
-    return spans
+def _label_consensus(labels, params, read_type, cov_thr):
+    """Reference consensus() (dense_encoding.rs:548-579): median-length
+    draft, [median/2, 2*median) length filter, coverage gate, polish."""
+    if not labels:
+        return None
+    lens = sorted(len(x) for x in labels)
+    median = lens[len(lens) // 2]
+    upper, lower = 2 * median, max(median, MIN_SPAN_LEN) // 2
+    if upper <= lower or median > MAX_NEW_LEN:
+        return None
+    kept = [x for x in labels if lower <= len(x) < upper]
+    if len(kept) <= cov_thr:
+        return None
+    draft = min(kept, key=lambda y: abs(len(y) - median))
+    band = max(min(max(median // 20, 10), 50), 16)
+    band = ((band + 63) // 64) * 64
+    cons, _ = polish_until_converge(draft, kept[:30], params, W=band,
+                                    max_rounds=4)
+    return cons if len(cons) > MIN_SPAN_LEN else None
+
+
+def _edge_keys(a, b):
+    """Oriented edge keys of an adjacent node pair
+    (get_forward/reverse_d_edge_from_window, dense_encoding.rs:582-594)."""
+    fwd = ((a.chunk, a.cluster, a.is_forward),
+           (b.chunk, b.cluster, b.is_forward))
+    rev = ((b.chunk, b.cluster, not b.is_forward),
+           (a.chunk, a.cluster, not a.is_forward))
+    return fwd, rev
 
 
 def dense_encoding(ds: DataSet, length: int = 15, seed: int = 42,
                    min_span_reads: int = 4) -> DataSet:
+    """Per-edge-label consensus across collapsed multi-copy contigs
+    (enumerate_polyploid_edges + take_consensus_on/to_multitig,
+    dense_encoding.rs:334-546)."""
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     chunk_seqs = {c.id: c.seq for c in ds.selected_chunks}
     if not chunk_seqs:
@@ -73,41 +82,71 @@ def dense_encoding(ds: DataSet, length: int = 15, seed: int = 42,
     mean_len = int(np.mean([len(s) for s in chunk_seqs.values()]))
     params = PHMMParams.from_hmmparam(ds.model_param.forward)
     next_id = max(chunk_seqs) + 1
-    new_chunks = []
+    cov_thr = max(int(cov) // 5, 1)
+    from ..graph.ditch_graph import HEAD, TAIL
+    # multicopy contigs with edges on BOTH sides -> their internal edges
+    # (and boundary-entering edges) become consensus targets
+    target_edges: dict = {}      # oriented DEdge key -> copy number
+    boundary_edges: dict = {}    # same, for edges entering the multitig
     for c in contigs:
         summary = c["summary"]
         if not summary or len(summary) > length:
             continue
-        if not all(s[4] >= 2 for s in summary):
-            continue  # not a multi-copy (collapsed) contig
-        first = (summary[0][0], summary[0][1])
-        last = (summary[-1][0], summary[-1][1])
-        # must have edges on both sides (otherwise a tip — nothing to phase)
+        cps = [s[4] for s in summary]
+        copy_num = int(round(sum(cps) / len(cps)))
+        if copy_num < 2:
+            continue
         path = c["path"]
         f_node, f_exit = path[0]
         l_node, l_exit = path[-1]
-        from ..graph.ditch_graph import HEAD, TAIL
         f_entry = TAIL if f_exit == HEAD else HEAD
         if not g.edges_at(f_node, f_entry) or not g.edges_at(l_node, l_exit):
             continue
-        spans = _collect_spanning(ds, first, last)
-        if len(spans) < min_span_reads:
+        for (u, uc, ud, _o1, _c1), (v, vc, vd, _o2, _c2) in zip(
+                summary, summary[1:]):
+            target_edges[((u, uc, ud), (v, vc, vd))] = copy_num
+        # edges entering the contig at its boundaries
+        for node, plug in ((f_node, f_entry), (l_node, l_exit)):
+            for _k, _e, tn, _tp in g.half_edges(node, plug):
+                key = ((tn[0], tn[1], None), (node[0], node[1], None))
+                boundary_edges[key] = copy_num
+    # gather read edge labels per target edge (oriented)
+    materials: dict = {}
+    for er in ds.encoded_reads:
+        for a, e, b in zip(er.nodes, er.edges, er.nodes[1:]):
+            if not e.label:
+                continue
+            fwd, rev = _edge_keys(a, b)
+            hit = None
+            if fwd in target_edges:
+                hit, lab = fwd, seqmod.encode(e.label.upper())
+            elif rev in target_edges:
+                hit = rev
+                lab = seqmod.revcomp(seqmod.encode(e.label.upper()))
+            else:
+                bf = ((a.chunk, a.cluster, None), (b.chunk, b.cluster, None))
+                br = ((b.chunk, b.cluster, None), (a.chunk, a.cluster, None))
+                if bf in boundary_edges:
+                    hit, lab = bf, seqmod.encode(e.label.upper())
+                elif br in boundary_edges:
+                    hit = br
+                    lab = seqmod.revcomp(seqmod.encode(e.label.upper()))
+            if hit is not None:
+                materials.setdefault(hit, []).append(lab)
+    new_chunks = []
+    for key, labels in sorted(materials.items(), key=lambda kv: str(kv[0])):
+        cons = _label_consensus(labels, params, ds.read_type, cov_thr)
+        if cons is None:
             continue
-        spans.sort(key=len)
-        draft = spans[len(spans) // 2]
-        band = max(ReadType.band_width(ds.read_type, len(draft)), 64)
-        band = ((band + 63) // 64) * 64
-        consensus, _ = polish_until_converge(draft, spans[:30], params,
-                                             W=band, max_rounds=4)
-        n_pieces = max(int(round(len(consensus) / mean_len)), 1)
-        piece = len(consensus) // n_pieces
+        copy_num = target_edges.get(key) or boundary_edges.get(key, 2)
+        n_pieces = max(int(np.ceil(len(cons) / mean_len)), 1)
+        piece = int(np.ceil(len(cons) / n_pieces))
         for i in range(n_pieces):
-            seg = consensus[i * piece: (i + 1) * piece if i < n_pieces - 1
-                            else len(consensus)]
+            seg = cons[i * piece: (i + 1) * piece]
             if len(seg) < MIN_SPAN_LEN // 2:
                 continue
             new_chunks.append(Chunk(next_id, seqmod.decode(seg).decode(),
-                                    1, 2))
+                                    1, copy_num))
             next_id += 1
     if not new_chunks:
         ds.push_stage("DenseEncoding", [])

@@ -27,12 +27,19 @@ from ..ops.polish import effective_band, polish_until_converge
 logger = logging.getLogger(__name__)
 
 
+PAD_MULTIPLE = 8  # fixed so batch shapes (and numerics) match any mesh size
+
+
 def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
                 init: PHMMParams, W: int, steps: int = 60,
                 lr: float = 0.05, clip: float = 1.0):
+    """Fit one strand's HMM with the data-parallel train step
+    (jtk_tpu.parallel.make_train_step) — sharded over the production mesh
+    when more than one device is present, bit-identical at any mesh size."""
     import jax
-    import jax.numpy as jnp
-    from ..parallel import params_to_theta, theta_to_params, _batch_neg_lk
+    from ..parallel import (get_mesh, make_mesh, make_train_step,
+                            params_to_theta, replicate, shard_leading,
+                            theta_to_params)
 
     if not reads:
         return init
@@ -55,28 +62,33 @@ def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
         return init
     qs, offs, q_lens = qs[keep], offs[keep], q_lens[keep]
 
+    # pad the batch to a fixed multiple with weight-0 stub reads
+    n = len(qs)
+    N = ((n + PAD_MULTIPLE - 1) // PAD_MULTIPLE) * PAD_MULTIPLE
+    wts = np.zeros(N, np.float32)
+    wts[:n] = 1.0
+    if N > n:
+        # weight-0 duplicates of the first read keep every row's band valid
+        qs = np.concatenate([qs, np.tile(qs[:1], (N - n, 1))])
+        offs = np.concatenate([offs, np.tile(offs[:1], (N - n, 1))])
+        q_lens = np.concatenate(
+            [q_lens, np.full(N - n, q_lens[0], np.int32)])
+
+    mesh = get_mesh() or make_mesh(1)
+    step_fn = make_train_step(mesh, W, lr=lr, clip=clip)
+    if mesh.size > 1:
+        qs_d, offs_d, ql_d, wts_d = shard_leading(mesh, qs, offs, q_lens, wts)
+        template_d, = replicate(mesh, np.asarray(template, np.int8))
+    else:
+        qs_d, offs_d, ql_d, wts_d = qs, offs, q_lens, wts
+        template_d = np.asarray(template, np.int8)
+
     theta = params_to_theta(init)
-
-    @jax.jit
-    def step_fn(theta):
-        (loss, n), g = jax.value_and_grad(
-            lambda th: _batch_neg_lk(th, qs, template, offs, q_lens,
-                                     np.int32(t_len), W),
-            has_aux=True)(theta)
-        # sanitize, per-base-pair normalize, and globally clip the gradient
-        total_bp = jnp.sum(q_lens.astype(jnp.float32))
-        g = jax.tree.map(
-            lambda gg: jnp.where(jnp.isfinite(gg), gg, 0.0) / total_bp, g)
-        gnorm = jnp.sqrt(sum(jnp.sum(gg ** 2)
-                             for gg in jax.tree.leaves(g)))
-        scale = jnp.minimum(1.0, clip / (gnorm + 1e-9))
-        theta = jax.tree.map(lambda t, gg: t - lr * scale * gg, theta, g)
-        return theta, loss / n
-
     prev = None
     best = theta
     for it in range(steps):
-        theta, loss = step_fn(theta)
+        theta, loss = step_fn(theta, qs_d, template_d, offs_d, ql_d,
+                              np.int32(t_len), wts_d)
         loss = float(loss)
         if not np.isfinite(loss) or any(
                 not np.all(np.isfinite(np.asarray(x)))

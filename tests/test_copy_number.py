@@ -146,3 +146,45 @@ def test_penalty_decreases_and_zero_floor():
     node_cp, edge_cp = g.copy_numbers()
     assert (node_cp >= 0).all() and (edge_cp >= 0).all()
     assert node_cp[1] == 0  # uncovered node stays at zero
+
+
+def _mock1():
+    cov = 10.0
+    rng = np.random.default_rng(349823094)
+    nodes_cp = [2, 1, 1, 2, 1, 1, 2]
+    node_cov = [float(rng.normal(cov * cp, 1.0)) for cp in nodes_cp]
+    edges = [
+        (0, False, 1, True, cov), (0, False, 2, True, cov),
+        (1, False, 3, True, cov), (2, False, 3, True, cov),
+        (3, False, 4, True, cov), (3, False, 5, True, cov),
+        (4, False, 6, True, cov), (5, False, 6, True, cov),
+    ]
+    return node_cov, edges, cov, nodes_cp
+
+
+def test_gibbs_sampler_mock():
+    from jtk_tpu.graph.copy_number_alt import estimate_copy_number_gbs
+    node_cov, edges, cov, nodes_cp = _mock1()
+    ncp, ecp = estimate_copy_number_gbs(node_cov, edges, cov,
+                                        burn_in=300, sample_len=300)
+    assert ncp.tolist() == nodes_cp
+    assert ecp.tolist() == [1] * len(edges)
+
+
+def test_mrf_mcmc_mock():
+    from jtk_tpu.graph.copy_number_alt import estimate_copy_number_mcmc
+    node_cov, edges, cov, nodes_cp = _mock1()
+    nodes = [(c, 2) for c in node_cov]
+    ncp, ecp = estimate_copy_number_mcmc(nodes, edges, cov, chains=2,
+                                         burn_in=60)
+    assert ncp.tolist() == nodes_cp, ncp
+    assert ecp.tolist() == [1] * len(edges)
+
+
+def test_mst_guided_mock():
+    from jtk_tpu.graph.copy_number_alt import estimate_copy_number_mst
+    node_cov, edges, cov, nodes_cp = _mock1()
+    nodes = [(c, 2) for c in node_cov]
+    ncp, ecp = estimate_copy_number_mst(nodes, edges, cov)
+    assert ncp.tolist() == nodes_cp, ncp
+    assert ecp.tolist() == [1] * len(edges)
