@@ -89,11 +89,22 @@ def modification_table(q, r, offsets, q_len, t_len, params: PHMMParams,
     """Returns (lk, table) — baseline log-likelihood and (Tpad+1, NUM_EDIT)
     table of log-likelihoods of each single template edit.  Invalid positions
     (>= t_len for sub/del, > t_len for ins) hold -inf-ish values."""
-    Q = q.shape[0]
-    T = r.shape[0]
     lk, (fM, fI, fD), fcum, rcs = forward_banded(q, r, offsets, q_len, t_len,
                                                  params, W)
     (bM, bI, bD), bcum = backward_banded(q, r, offsets, q_len, t_len, params, W)
+    return modification_table_from_tables(
+        q, offsets, q_len, t_len, params, W, Tpad,
+        lk, (fM, fI, fD), fcum, rcs, (bM, bI, bD), bcum)
+
+
+def modification_table_from_tables(q, offsets, q_len, t_len,
+                                   params: PHMMParams, W: int, Tpad: int,
+                                   lk, f_tabs, fcum, rcs, b_tabs, bcum):
+    """The closed-form edit-table assembly, given precomputed banded
+    forward/backward tables (shared by the XLA-scan and Pallas engines)."""
+    Q = q.shape[0]
+    fM, fI, fD = f_tabs
+    bM, bI, bD = b_tabs
 
     t = params.trans
     tmm, tmi, tmd = t[0, 0], t[0, 1], t[0, 2]
@@ -283,3 +294,61 @@ modification_table_pileup = jax.jit(
     jax.vmap(modification_table, in_axes=(0, None, 0, 0, None, None, None, None)),
     static_argnames=("W", "Tpad"),
 )
+
+
+_table_assembly_batch = jax.jit(
+    jax.vmap(modification_table_from_tables,
+             in_axes=(0, 0, 0, None, None, None, None,
+                      0, (0, 0, 0), 0, 0, (0, 0, 0), 0)),
+    static_argnames=("W", "Tpad"),
+)
+
+
+def use_pallas() -> bool:
+    """Pallas engine switch: JTK_TPU_PALLAS=1/0 overrides; default on for a
+    real TPU backend, off elsewhere (the XLA scan is the CPU reference)."""
+    import os
+    env = os.environ.get("JTK_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "", "false")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "Q", "Tpad", "interpret"))
+def _pallas_modtable_fused(prep, params, W: int, Q: int, Tpad: int,
+                           interpret: bool):
+    """One dispatch: both Pallas table passes + stitching + the closed-form
+    edit-table assembly over the whole (padded) batch."""
+    from .pallas_phmm import _tables_traced
+    lk, f_tabs, fcum, rcs, b_tabs, bcum, offs = _tables_traced(
+        prep, W, Q, interpret)
+    lk2, tab = _table_assembly_batch(
+        prep["qs_p"], offs, prep["q_lens_p"],
+        prep["t_len"], params, W, Tpad,
+        lk, f_tabs, fcum, rcs, b_tabs, bcum)
+    return lk2, tab
+
+
+def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
+                                     W: int, Tpad: int,
+                                     interpret: bool = False):
+    """Pallas-engine modification tables: the banded fwd/bwd wavefronts run
+    in the fused VMEM-resident kernels (ops.pallas_phmm) streaming tables to
+    HBM; the oracle-tested closed-form assembly then reads them — all in a
+    single device dispatch.  Output matches modification_table_pileup."""
+    from .pallas_phmm import _prep_tables_inputs
+    # Mosaic targets TPUs; anywhere else (tests, CPU golden runs) the
+    # kernels execute in interpreter mode
+    interpret = interpret or jax.default_backend() != "tpu"
+    # lanes come in 128s: widen sub-tile bands (the extra lanes only add
+    # paths the narrow band clipped; all consumers use the same W)
+    W = max(W, 128)
+    prep, B0, _Qpad, Q, _B = _prep_tables_inputs(
+        np.asarray(qs), np.asarray(tpl)[:Tpad], np.asarray(offs),
+        np.asarray(q_lens, np.int32), int(t_len), params, W)
+    lk, tab = _pallas_modtable_fused(prep, params, W, Q, Tpad, interpret)
+    return lk[:B0], tab[:B0]

@@ -31,6 +31,11 @@ def _rollr(x, n, fill):
         [jnp.full_like(x[:, :n], fill), x[:, :-n]], axis=1)
 
 
+def _rolll(x, n, fill):
+    return jnp.concatenate(
+        [x[:, n:], jnp.full_like(x[:, :n], fill)], axis=1)
+
+
 def _roll_left1(x, fill):
     return jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
 
@@ -176,6 +181,497 @@ def _pallas_fwd(qs, shifts, inc, rc0, j0, q_lens, t_lens, trans, me, ie,
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
         interpret=interpret,
     )(qs, shifts, inc, rc0, j0, q_lens, t_lens, trans, me, ie)
+
+
+BLK = 128
+
+
+def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
+                       m0_ref, i0_ref, d0_ref, qlen_ref, tlen_ref,
+                       trans_ref, me_ref, ie_ref,
+                       outM, outI, outD, outLs_ref,
+                       blkM, blkI, blkD, sems):
+    """Forward pass streaming every banded row to HBM.
+
+    Identical math to ops.phmm.forward_banded's scan step; rows are computed
+    in VMEM in blocks of BLK and DMA'd out, so the whole wavefront stays
+    on-chip while the tables land in HBM for the closed-form modtable
+    assembly."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    W = rc0_ref.shape[1]
+    Q = qs_ref.shape[1]
+    t = trans_ref[:]
+    tmm, tmi, tmd = t[0, 0], t[0, 1], t[0, 2]
+    tim, tii, tid = t[1, 0], t[1, 1], t[1, 2]
+    tdm, tdi, tdd = t[2, 0], t[2, 1], t[2, 2]
+    me = me_ref[:]
+    ie = ie_ref[:]
+    qlen = qlen_ref[:, 0]
+    tlenf = tlen_ref[:, 0].astype(jnp.float32)
+
+    def linrec(c, a):
+        y = c
+        apow = jnp.full_like(c, a)
+        shift = 1
+        while shift < W:
+            y = y + apow * _rollr(y, shift, 0.0)
+            apow = apow * _rollr(apow, shift, 0.0)
+            shift *= 2
+        return y
+
+    def emis_row(rc, col):
+        em = jnp.zeros(rc.shape, jnp.float32)
+        for b in range(4):
+            em = em + jnp.where(rc == b, 1.0, 0.0) * col[:, b][:, None]
+        return em
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+
+    M = m0_ref[:]
+    I = i0_ref[:]
+    D = d0_ref[:]
+    j = j0_ref[:].astype(jnp.float32)
+    rc = rc0_ref[:].astype(jnp.int32)
+    qprev0 = jnp.full((SUB,), 4, jnp.int32)
+
+    def outer(tblk, carry):
+        M, I, D, j, rc, qprev = carry
+        col = pl.multiple_of(tblk * BLK, BLK)
+        qt = qs_ref[:, pl.ds(col, BLK)]
+        st = shifts_ref[:, pl.ds(col, BLK)]
+        it = inc_ref[:, pl.ds(col, BLK)]
+
+        def body(r, carry):
+            M, I, D, j, rc, qprev, ls_blk = carry
+            i = tblk * BLK + r + 1
+            sel = lane128 == r
+            qc = jnp.sum(jnp.where(sel, qt, 0), axis=1)
+            sv = jnp.sum(jnp.where(sel, st, 0), axis=1)
+            newc = jnp.sum(jnp.where(sel, it, 0), axis=1)
+            s = sv.astype(jnp.float32)[:, None]
+            one = s == 1.0
+            Md = jnp.where(one, M, _roll_right1(M, 0.0))
+            Id = jnp.where(one, I, _roll_right1(I, 0.0))
+            Dd = jnp.where(one, D, _roll_right1(D, 0.0))
+            Mu = jnp.where(one, _roll_left1(M, 0.0), M)
+            Iu = jnp.where(one, _roll_left1(I, 0.0), I)
+            Du = jnp.where(one, _roll_left1(D, 0.0), D)
+            rc_shift = _roll_left1(rc, 0)
+            rc_shift = jnp.where(laneW == W - 1, newc[:, None], rc_shift)
+            rc_n = jnp.where(one, rc_shift, rc)
+            j_n = j + s
+            me_col = jnp.zeros((SUB, 4), jnp.float32)
+            ei = jnp.zeros((SUB,), jnp.float32)
+            for b in range(4):
+                hit = (qc == b).astype(jnp.float32)
+                me_col = me_col + hit[:, None] * me[:4, b][None, :]
+                for p in range(5):
+                    ei = ei + hit * jnp.where(qprev == p, 1.0, 0.0) * ie[p, b]
+            em = emis_row(rc_n, me_col)
+            ok = (j_n >= 1) & (j_n <= tlenf[:, None])
+            em = jnp.where(ok, em, 0.0)
+            Mrow = em * (tmm * Md + tim * Id + tdm * Dd)
+            Irow = ei[:, None] * (tmi * Mu + tii * Iu + tdi * Du)
+            Irow = jnp.where(j_n <= tlenf[:, None], Irow, 0.0)
+            c = tmd * _roll_right1(Mrow, 0.0) + tid * _roll_right1(Irow, 0.0)
+            Drow = linrec(c, tdd)
+            Drow = jnp.where(ok, Drow, 0.0)
+            sc = jnp.sum(Mrow + Irow + Drow, axis=1, keepdims=True) + 1e-30
+            Mrow, Irow, Drow = Mrow / sc, Irow / sc, Drow / sc
+            live = (i <= qlen)[:, None]
+            Mn = jnp.where(live, Mrow, M)
+            In = jnp.where(live, Irow, I)
+            Dn = jnp.where(live, Drow, D)
+            ls = jnp.where(live[:, 0], jnp.log(sc[:, 0]), 0.0)
+            jn = jnp.where(live, j_n, j_n - s)
+            rc_keep = jnp.where(live, rc_n, rc)
+            blkM[:, r, :] = Mn
+            blkI[:, r, :] = In
+            blkD[:, r, :] = Dn
+            ls_blk = jnp.where(lane128 == r, ls[:, None], ls_blk)
+            return Mn, In, Dn, jn, rc_keep, qc, ls_blk
+
+        ls0_blk = jnp.zeros((SUB, BLK), jnp.float32)
+        M, I, D, j, rc, qprev, ls_blk = jax.lax.fori_loop(
+            0, BLK, body, (M, I, D, j, rc, qprev, ls0_blk))
+        outLs_ref[:, pl.ds(col, BLK)] = ls_blk
+        row0 = tblk * BLK
+        cpM = pltpu.make_async_copy(
+            blkM, outM.at[pl.ds(g * SUB, SUB), pl.ds(row0, BLK), :], sems.at[0])
+        cpI = pltpu.make_async_copy(
+            blkI, outI.at[pl.ds(g * SUB, SUB), pl.ds(row0, BLK), :], sems.at[1])
+        cpD = pltpu.make_async_copy(
+            blkD, outD.at[pl.ds(g * SUB, SUB), pl.ds(row0, BLK), :], sems.at[2])
+        cpM.start()
+        cpI.start()
+        cpD.start()
+        cpM.wait()
+        cpI.wait()
+        cpD.wait()
+        return M, I, D, j, rc, qprev
+
+    jax.lax.fori_loop(0, Q // BLK, outer, (M, I, D, j, rc, qprev0))
+
+
+def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
+                       rcq_ref, jq_ref, bm0_ref, bi0_ref, bd0_ref,
+                       qlen_ref, tlen_ref, trans_ref, me_ref, ie_ref,
+                       outM, outI, outD, outLs_ref,
+                       blkM, blkI, blkD, sems):
+    """Backward pass streaming rows Q-1..0 to HBM (mirror of
+    ops.phmm.backward_banded's scan step)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    W = rcq_ref.shape[1]
+    Q = qnext_ref.shape[1]
+    t = trans_ref[:]
+    tmm, tmi, tmd = t[0, 0], t[0, 1], t[0, 2]
+    tim, tii, tid = t[1, 0], t[1, 1], t[1, 2]
+    tdm, tdi, tdd = t[2, 0], t[2, 1], t[2, 2]
+    me = me_ref[:]
+    ie = ie_ref[:]
+    qlen = qlen_ref[:, 0]
+    tlenf = tlen_ref[:, 0].astype(jnp.float32)
+
+    def linrec_rev(c, a):
+        y = c
+        apow = jnp.full_like(c, a)
+        shift = 1
+        while shift < W:
+            y = y + apow * _rolll(y, shift, 0.0)
+            apow = apow * _rolll(apow, shift, 0.0)
+            shift *= 2
+        return y
+
+    def emis_row(rc, col):
+        em = jnp.zeros(rc.shape, jnp.float32)
+        for b in range(4):
+            em = em + jnp.where(rc == b, 1.0, 0.0) * col[:, b][:, None]
+        return em
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+    laneW = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+
+    bM = bm0_ref[:]
+    bI = bi0_ref[:]
+    bD = bd0_ref[:]
+    rc = rcq_ref[:].astype(jnp.int32)   # r[off[i]+k] at the CURRENT row
+    j0 = jq_ref[:].astype(jnp.float32)  # off[Q] + k
+
+    def outer(tblk_rev, carry):
+        bM, bI, bD, rc, j = carry
+        tblk = Q // BLK - 1 - tblk_rev
+        col = pl.multiple_of(tblk * BLK, BLK)
+        qt = qnext_ref[:, pl.ds(col, BLK)]
+        pt = qprevn_ref[:, pl.ds(col, BLK)]
+        st = shifts_ref[:, pl.ds(col, BLK)]
+        it = inc_ref[:, pl.ds(col, BLK)]
+
+        def body(r_rev, carry):
+            bM, bI, bD, rc, j, ls_blk = carry
+            r = BLK - 1 - r_rev
+            i = tblk * BLK + r          # computing row i from row i+1
+            sel = lane128 == r
+            qc = jnp.sum(jnp.where(sel, qt, 0), axis=1)
+            qp = jnp.sum(jnp.where(sel, pt, 0), axis=1)
+            sv = jnp.sum(jnp.where(sel, st, 0), axis=1)
+            newc = jnp.sum(jnp.where(sel, it, 0), axis=1)
+            s = sv.astype(jnp.float32)[:, None]
+            one = s == 1.0
+            # band content at row i: shift right on s=1, char enters lane 0
+            rc_shift = _roll_right1(rc, 0)
+            rc_shift = jnp.where(laneW == 0, newc[:, None], rc_shift)
+            rc_i = jnp.where(one, rc_shift, rc)
+            j_i = j - s                 # off[i] + k
+            me_col = jnp.zeros((SUB, 4), jnp.float32)
+            ei = jnp.zeros((SUB,), jnp.float32)
+            for b in range(4):
+                hit = (qc == b).astype(jnp.float32)
+                me_col = me_col + hit[:, None] * me[:4, b][None, :]
+                for p in range(5):
+                    ei = ei + hit * jnp.where(qp == p, 1.0, 0.0) * ie[p, b]
+            em = emis_row(rc_i, me_col)
+            em = jnp.where(j_i + 1.0 <= tlenf[:, None], em, 0.0)
+            bM1_at = jnp.where(one, bM, _roll_left1(bM, 0.0))
+            bI1_at = jnp.where(one, _roll_right1(bI, 0.0), bI)
+            u = em * bM1_at
+            v = ei[:, None] * bI1_at
+            c = tdm * u + tdi * v
+            bDrow = linrec_rev(c, tdd)
+            w = _roll_left1(bDrow, 0.0)
+            ok = j_i <= tlenf[:, None]
+            bMrow = jnp.where(ok, tmm * u + tmi * v + tmd * w, 0.0)
+            bIrow = jnp.where(ok, tim * u + tii * v + tid * w, 0.0)
+            bDrow = jnp.where(ok, bDrow, 0.0)
+            sc = jnp.max(bMrow + bIrow + bDrow, axis=1, keepdims=True) + 1e-30
+            bMrow, bIrow, bDrow = bMrow / sc, bIrow / sc, bDrow / sc
+            live = (i < qlen)[:, None]
+            bMn = jnp.where(live, bMrow, bM)
+            bIn = jnp.where(live, bIrow, bI)
+            bDn = jnp.where(live, bDrow, bD)
+            ls = jnp.where(live[:, 0], jnp.log(sc[:, 0]), 0.0)
+            rc_keep = jnp.where(live, rc_i, rc)
+            j_keep = jnp.where(live, j_i, j)
+            blkM[:, r, :] = bMn
+            blkI[:, r, :] = bIn
+            blkD[:, r, :] = bDn
+            ls_blk = jnp.where(lane128 == r, ls[:, None], ls_blk)
+            return bMn, bIn, bDn, rc_keep, j_keep, ls_blk
+
+        ls0_blk = jnp.zeros((SUB, BLK), jnp.float32)
+        bM, bI, bD, rc, j, ls_blk = jax.lax.fori_loop(
+            0, BLK, body, (bM, bI, bD, rc, j, ls0_blk))
+        outLs_ref[:, pl.ds(col, BLK)] = ls_blk
+        row0 = tblk * BLK
+        cpM = pltpu.make_async_copy(
+            blkM, outM.at[pl.ds(g * SUB, SUB), pl.ds(row0, BLK), :], sems.at[0])
+        cpI = pltpu.make_async_copy(
+            blkI, outI.at[pl.ds(g * SUB, SUB), pl.ds(row0, BLK), :], sems.at[1])
+        cpD = pltpu.make_async_copy(
+            blkD, outD.at[pl.ds(g * SUB, SUB), pl.ds(row0, BLK), :], sems.at[2])
+        cpM.start()
+        cpI.start()
+        cpD.start()
+        cpM.wait()
+        cpI.wait()
+        cpD.wait()
+        return bM, bI, bD, rc, j
+
+    jax.lax.fori_loop(0, Q // BLK, outer, (bM, bI, bD, rc, j0))
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Q", "interpret"))
+def _pallas_fwd_tables(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp,
+                       trans, me, ie, W: int, Q: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = qs.shape[0]
+
+    def row_spec(ncols):
+        return pl.BlockSpec((SUB, ncols), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rep_spec(shape):
+        return pl.BlockSpec(shape, lambda g: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    hbm = getattr(pltpu, "HBM", pl.ANY)
+    any_spec = pl.BlockSpec(memory_space=hbm)
+    outs = pl.pallas_call(
+        _fwd_tables_kernel,
+        grid=(B // SUB,),
+        in_specs=[row_spec(Q), row_spec(Q), row_spec(Q), row_spec(W),
+                  row_spec(W), row_spec(W), row_spec(W), row_spec(W),
+                  row_spec(1), row_spec(1),
+                  rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8))],
+        out_specs=[any_spec, any_spec, any_spec, row_spec(Q)],
+        out_shape=[jax.ShapeDtypeStruct((B, Q, W), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((B, Q), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((SUB, BLK, W), jnp.float32)] * 3
+        + [pltpu.SemaphoreType.DMA((3,))],
+        interpret=interpret,
+    )(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp, trans, me, ie)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Q", "interpret"))
+def _pallas_bwd_tables(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0,
+                       qlp, tlp, trans, me, ie, W: int, Q: int,
+                       interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = qnext.shape[0]
+
+    def row_spec(ncols):
+        return pl.BlockSpec((SUB, ncols), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rep_spec(shape):
+        return pl.BlockSpec(shape, lambda g: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    hbm = getattr(pltpu, "HBM", pl.ANY)
+    any_spec = pl.BlockSpec(memory_space=hbm)
+    outs = pl.pallas_call(
+        _bwd_tables_kernel,
+        grid=(B // SUB,),
+        in_specs=[row_spec(Q), row_spec(Q), row_spec(Q), row_spec(Q),
+                  row_spec(W), row_spec(W), row_spec(W), row_spec(W),
+                  row_spec(W),
+                  row_spec(1), row_spec(1),
+                  rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8))],
+        out_specs=[any_spec, any_spec, any_spec, row_spec(Q)],
+        out_shape=[jax.ShapeDtypeStruct((B, Q, W), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((B, Q), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((SUB, BLK, W), jnp.float32)] * 3
+        + [pltpu.SemaphoreType.DMA((3,))],
+        interpret=interpret,
+    )(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0, qlp, tlp, trans,
+      me, ie)
+    return outs
+
+
+def _prep_tables_inputs(qs, template, offsets, q_lens, t_len,
+                        params: PHMMParams, W: int):
+    """Host-side prep, kept COMPACT for slow host links: only the padded
+    reads (int8), the 0/1 offset deltas (uint8), per-read scalars and the
+    tiny parameter tables cross to the device; everything else (band
+    streams, row-0 / backward-init closed forms) is expanded in-jit.
+    Returns (prep_dict, B0, Qpad, Q, B)."""
+    B0, Qpad = qs.shape
+    Q = ((Qpad + BLK - 1) // BLK) * BLK
+    B = ((B0 + SUB - 1) // SUB) * SUB
+    t_len = int(t_len)
+    qs_p = np.full((B, Q), 4, np.int8)
+    qs_p[:B0, :Qpad] = qs
+    offs = np.zeros((B, Q + 1), np.int64)
+    offs[:B0, :Qpad + 1] = offsets
+    offs[:B0, Qpad + 1:] = offsets[:, -1:]
+    offs[B0:] = offs[:1] if B0 else 0
+    q_lens_p = np.ones(B, np.int32)
+    q_lens_p[:B0] = q_lens
+    t = np.asarray(params.trans, np.float32)
+    trans = np.zeros((8, 8), np.float32)
+    trans[:3, :3] = t
+    me8 = np.zeros((8, 8), np.float32)
+    me8[:4, :4] = np.asarray(params.mat_emit, np.float32)
+    ie8 = np.zeros((8, 8), np.float32)
+    ie8[:5, :4] = np.asarray(params.ins_emit, np.float32)
+    r_arr = np.full(t_len + 1, 4, np.int8)
+    r_arr[:t_len] = np.asarray(template, np.int8)[:t_len]
+    prep = dict(
+        qs_p=qs_p,
+        shifts=np.diff(offs, axis=1).astype(np.uint8),
+        off0=offs[:, 0].astype(np.int32),
+        q_lens_p=q_lens_p,
+        r=r_arr,
+        t_len=np.int32(t_len),
+        trans=trans, me8=me8, ie8=ie8,
+    )
+    return prep, B0, Qpad, Q, B
+
+
+def _tables_traced(prep, W: int, Q: int, interpret: bool):
+    """Device-side prep expansion + both Pallas passes + stitching,
+    traceable inside an outer jit.  Returns
+    (lk, (fM,fI,fD), fcum, rcs, (bM,bI,bD), bcum) over the padded batch."""
+    p = prep
+    qs_p = p["qs_p"].astype(jnp.int32)
+    B = qs_p.shape[0]
+    q_lens_p = p["q_lens_p"]
+    t_len = p["t_len"]
+    tlenf = t_len.astype(jnp.float32)
+    trans = p["trans"]
+    tmd, tdd, tid = trans[0, 2], trans[2, 2], trans[1, 2]
+    ks = np.arange(W)
+    shifts32 = p["shifts"].astype(jnp.int32)
+    offs = jnp.concatenate(
+        [p["off0"][:, None],
+         p["off0"][:, None] + jnp.cumsum(shifts32, axis=1)], axis=1)
+    # band character streams from the (tiny) template array
+    r_pad = jnp.concatenate([np.full(1, 4, np.int8), p["r"],
+                             np.full(W + Q + 2, 4, np.int8)])
+    r_pad2 = jnp.concatenate([p["r"], np.full(W + Q + 3, 4, np.int8)])
+    inc_f = r_pad[offs[:, 1:] + W - 1].astype(jnp.int32)
+    rc0 = r_pad[offs[:, :1] + ks[None]].astype(jnp.int32)
+    j0 = (offs[:, :1] + ks[None]).astype(jnp.int32)
+    # forward row 0 (closed form: M at j=0, D chain along the row)
+    M0 = (j0 == 0).astype(jnp.float32)
+    kf = np.arange(W, dtype=np.float32)
+    D0 = jnp.where(ks[None] >= 1,
+                   tmd * jnp.exp(jnp.log(jnp.maximum(tdd, 1e-30))
+                                 * jnp.maximum(kf[None] - 1, 0)),
+                   0.0) * (j0 <= t_len)
+    D0 = jnp.where(j0 >= 1, D0, 0.0).astype(jnp.float32)
+    s0 = M0.sum(1, keepdims=True) + D0.sum(1, keepdims=True) + 1e-30
+    M0n, D0n = (M0 / s0).astype(jnp.float32), (D0 / s0).astype(jnp.float32)
+    I0n = jnp.zeros_like(M0n)
+    ls0 = jnp.log(s0[:, 0]).astype(jnp.float32)
+    qlp = q_lens_p[:, None].astype(jnp.int32)
+    tlp = jnp.full((B, 1), t_len, jnp.int32)
+
+    fM_r, fI_r, fD_r, f_ls = _pallas_fwd_tables(
+        qs_p, shifts32, inc_f, rc0, j0, M0n, I0n, D0n, qlp, tlp,
+        p["trans"], p["me8"], p["ie8"], W, Q, interpret)
+
+    # backward init at the frozen row (offsets beyond q_len are constant)
+    bidx = np.arange(B)
+    offQ = offs[bidx, q_lens_p]
+    jQ = offQ[:, None] + ks[None]
+    kT = (t_len - offQ)[:, None].astype(jnp.float32)
+    expo = jnp.maximum(kT - kf[None], 0.0)
+    logtdd = jnp.log(jnp.maximum(tdd, 1e-30))
+    bD0 = jnp.where(kf[None] <= kT, jnp.exp(logtdd * expo), 0.0)
+    bD_next = jnp.concatenate([bD0[:, 1:], jnp.zeros((B, 1))], axis=1)
+    bM0 = jnp.where(kf[None] == kT, 1.0, tmd * bD_next)
+    bI0 = jnp.where(kf[None] == kT, 1.0, tid * bD_next)
+    valid = jQ <= t_len
+    bM0 = jnp.where(valid, bM0, 0.0)
+    bI0 = jnp.where(valid, bI0, 0.0)
+    bD0 = jnp.where(valid, bD0, 0.0)
+    sI = jnp.max(bM0 + bI0 + bD0, axis=1, keepdims=True) + 1e-30
+    bM0n = (bM0 / sI).astype(jnp.float32)
+    bI0n = (bI0 / sI).astype(jnp.float32)
+    bD0n = (bD0 / sI).astype(jnp.float32)
+    lsI = jnp.log(sI[:, 0]).astype(jnp.float32)
+    qnext = qs_p
+    qprev_arr = jnp.concatenate([jnp.full((B, 1), 4, jnp.int32),
+                                 qs_p[:, :-1]], axis=1)
+    inc_b = r_pad2[jnp.maximum(offs[:, :-1], 0)].astype(jnp.int32)
+    rcq = r_pad2[offs[:, -1:] + ks[None]].astype(jnp.int32)
+    jq = (offs[:, -1:] + ks[None]).astype(jnp.int32)
+
+    bM_r, bI_r, bD_r, b_ls = _pallas_bwd_tables(
+        qnext, qprev_arr, shifts32, inc_b, rcq, jq, bM0n, bI0n, bD0n,
+        qlp, tlp, p["trans"], p["me8"], p["ie8"], W, Q, interpret)
+
+    fM = jnp.concatenate([M0n[:, None], fM_r], axis=1)
+    fI = jnp.concatenate([I0n[:, None], fI_r], axis=1)
+    fD = jnp.concatenate([D0n[:, None], fD_r], axis=1)
+    lss = jnp.concatenate([ls0[:, None], f_ls], axis=1)
+    fcum = jnp.cumsum(lss, axis=1)
+    bM = jnp.concatenate([bM_r, bM0n[:, None]], axis=1)
+    bI = jnp.concatenate([bI_r, bI0n[:, None]], axis=1)
+    bD = jnp.concatenate([bD_r, bD0n[:, None]], axis=1)
+    bM = bM.at[bidx, q_lens_p].set(bM0n)
+    bI = bI.at[bidx, q_lens_p].set(bI0n)
+    bD = bD.at[bidx, q_lens_p].set(bD0n)
+    zcol = np.zeros((B, 1), np.float32)
+    b_lss = jnp.concatenate([b_ls, zcol], axis=1)
+    b_lss = b_lss.at[bidx, q_lens_p].set(lsI)
+    bcum = jnp.flip(jnp.cumsum(jnp.flip(b_lss, 1), axis=1), 1)
+    k_end = jnp.clip(t_len - offQ, 0, W - 1)
+    fin = (fM[bidx, q_lens_p, k_end] + fI[bidx, q_lens_p, k_end]
+           + fD[bidx, q_lens_p, k_end])
+    lk = jnp.log(fin + 1e-30) + fcum[bidx, q_lens_p]
+    rcs = r_pad[offs[:, :, None] + ks[None, None, :]]
+    return lk, (fM, fI, fD), fcum, rcs, (bM, bI, bD), bcum, offs
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Q", "interpret"))
+def _tables_jit(prep, W: int, Q: int, interpret: bool):
+    return _tables_traced(prep, W, Q, interpret)
+
+
+def pallas_tables_batch(qs, template, offsets, q_lens, t_len,
+                        params: PHMMParams, W: int, interpret: bool = False):
+    """Batched banded fwd/bwd tables via the Pallas kernels, shaped exactly
+    like vmapped ops.phmm.forward_banded/backward_banded outputs:
+    (lk, (fM,fI,fD) (B,Q+1,W), fcum (B,Q+1), rcs (B,Q+1,W),
+    (bM,bI,bD) (B,Q+1,W), bcum (B,Q+1), B0, Qpad)."""
+    prep, B0, Qpad, Q, _B = _prep_tables_inputs(
+        qs, template, offsets, q_lens, t_len, params, W)
+    lk, f_tabs, fcum, rcs, b_tabs, bcum, _offs = _tables_jit(
+        prep, W, Q, interpret)
+    return lk, f_tabs, fcum, rcs, b_tabs, bcum, B0, Qpad
 
 
 def pallas_likelihood_pileup(reads, template: np.ndarray,

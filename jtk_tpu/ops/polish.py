@@ -63,14 +63,21 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
         strands = np.asarray(strands, bool)
         groups = [(np.nonzero(strands)[0], params),
                   (np.nonzero(~strands)[0], params_rev)]
+    from .modtable import modification_table_pileup_pallas, use_pallas
+    pallas_on = use_pallas()
     for idx, par in groups:
         for s in range(0, len(idx), max_batch):
             sel = idx[s:s + max_batch]
             if len(sel) == 0:
                 continue
-            lk, tab = modification_table_pileup(
-                qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len), par,
-                W, Tpad)
+            if pallas_on:
+                lk, tab = modification_table_pileup_pallas(
+                    qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
+                    par, W, Tpad)
+            else:
+                lk, tab = modification_table_pileup(
+                    qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
+                    par, W, Tpad)
             lk = np.asarray(lk, np.float64)
             tab = np.asarray(tab, np.float64)
             lks[sel] = lk

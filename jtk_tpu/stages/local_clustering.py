@@ -106,6 +106,8 @@ def _pileup_tables(reads, strands, template, params_f, params_r, W, Tpad,
     lks = np.zeros(R)
     profs = np.zeros((R, (Tpad + 1) * NUM_EDIT), np.float32)
     strands = np.asarray(strands, bool)
+    from ..ops.modtable import modification_table_pileup_pallas, use_pallas
+    pallas_on = use_pallas()
     for fwd in (True, False):
         idx = np.nonzero(strands == fwd)[0]
         if len(idx) == 0:
@@ -113,9 +115,14 @@ def _pileup_tables(reads, strands, template, params_f, params_r, W, Tpad,
         par = params_f if fwd else params_r
         for s in range(0, len(idx), max_batch):
             sel = idx[s:s + max_batch]
-            lk, tab = modification_table_pileup(
-                qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
-                par, W, Tpad)
+            if pallas_on:
+                lk, tab = modification_table_pileup_pallas(
+                    qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
+                    par, W, Tpad)
+            else:
+                lk, tab = modification_table_pileup(
+                    qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
+                    par, W, Tpad)
             lk = np.asarray(lk)
             tab = np.asarray(tab)
             lks[sel] = lk

@@ -30,3 +30,73 @@ def test_pallas_forward_matches_scan():
                                         np.int32(len(template)), params, W))
     assert np.allclose(got, want, rtol=1e-3, atol=0.5), \
         np.stack([got, want])
+
+
+def _prep_batch(rng, n_reads=9, tlen=150, err=0.08, W=64):
+    template = sim.random_genome(rng, tlen)
+    reads = [sim.noisy_read(rng, template, err) for _ in range(n_reads)]
+    q_lens = np.array([len(r) for r in reads], np.int32)
+    W = effective_band(W, q_lens, tlen)
+    Qpad = ((int(q_lens.max()) + 127) // 128) * 128
+    qs = np.full((n_reads, Qpad), 4, np.int8)
+    for i, r in enumerate(reads):
+        qs[i, :len(r)] = r
+    offs = np.stack([linear_offsets(int(l), tlen, Qpad, W) for l in q_lens])
+    return template, qs, offs, q_lens, W
+
+
+def test_pallas_tables_match_scan():
+    from jtk_tpu.ops.pallas_phmm import pallas_tables_batch
+    from jtk_tpu.ops.phmm import backward_banded, forward_banded
+    rng = np.random.default_rng(3)
+    params = PHMMParams.from_hmmparam(HMMParam())
+    template, qs, offs, q_lens, W = _prep_batch(rng)
+    tlen = len(template)
+    (lk, (fM, fI, fD), fcum, rcs, (bM, bI, bD), bcum, B0, Qpad) = \
+        pallas_tables_batch(qs, template, offs, q_lens, tlen, params, W,
+                            interpret=True)
+    for i in range(len(qs)):
+        lk_w, (fMw, fIw, fDw), fcum_w, rcs_w = forward_banded(
+            qs[i], np.asarray(template, np.int8), offs[i],
+            np.int32(q_lens[i]), np.int32(tlen), params, W)
+        (bMw, bIw, bDw), bcum_w = backward_banded(
+            qs[i], np.asarray(template, np.int8), offs[i],
+            np.int32(q_lens[i]), np.int32(tlen), params, W)
+        assert abs(float(lk[i]) - float(lk_w)) < 2e-2, (i, lk[i], lk_w)
+        np.testing.assert_allclose(np.asarray(fM)[i, :Qpad + 1],
+                                   np.asarray(fMw), rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fD)[i, :Qpad + 1],
+                                   np.asarray(fDw), rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fcum)[i, :Qpad + 1],
+                                   np.asarray(fcum_w), rtol=1e-4, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(bM)[i, :Qpad + 1],
+                                   np.asarray(bMw), rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bD)[i, :Qpad + 1],
+                                   np.asarray(bDw), rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bcum)[i, :Qpad + 1],
+                                   np.asarray(bcum_w), rtol=1e-4, atol=2e-2)
+        np.testing.assert_array_equal(np.asarray(rcs)[i, :Qpad + 1],
+                                      np.asarray(rcs_w))
+
+
+def test_pallas_modtable_matches_scan():
+    import os
+    os.environ["JTK_TPU_PALLAS_INTERPRET"] = "1"
+    from jtk_tpu.ops.modtable import (modification_table_pileup,
+                                      modification_table_pileup_pallas)
+    rng = np.random.default_rng(4)
+    params = PHMMParams.from_hmmparam(HMMParam())
+    template, qs, offs, q_lens, W = _prep_batch(rng, n_reads=6)
+    tlen = len(template)
+    Tpad = tlen
+    tpl = np.asarray(template, np.int8)
+    lk_p, tab_p = modification_table_pileup_pallas(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, Tpad,
+        interpret=True)
+    lk_s, tab_s = modification_table_pileup(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, Tpad)
+    np.testing.assert_allclose(np.asarray(lk_p), np.asarray(lk_s),
+                               rtol=1e-4, atol=2e-2)
+    tp, ts = np.asarray(tab_p), np.asarray(tab_s)
+    mask = ts > -1e29
+    np.testing.assert_allclose(tp[mask], ts[mask], rtol=1e-4, atol=5e-2)
