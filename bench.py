@@ -136,7 +136,7 @@ def main():
     print(json.dumps({
         "metric": "reads_encoded_per_s",
         "value": round(reads_per_s, 2),
-        "unit": "reads/s (18kbp ONT-sim, 100kb diploid region; "
+        "unit": "reads/s (18kbp ONT-sim, 200kb diploid region; "
                 "baseline = measured single-thread CPU)",
         "vs_baseline": round(reads_per_s / cpu_rate, 2),
     }))

@@ -249,57 +249,61 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
         return []
     import jax
 
-    from ..ops.banded_align import _extend_indexed, decode_indexed
+    from ..ops.banded_align import _extend_hostwin, decode_indexed
     cid_list = sorted(chunk_seqs)
     cidx_of = {cid: i for i, cid in enumerate(cid_list)}
     Qpad = ((max(len(chunk_seqs[c]) for c in cid_list) + 127) // 128) * 128
     Tpad = ((max(c.window_len for c in cands) + 127) // 128) * 128
-    Lmax = ((max(len(r) for r in read_codes) + 127) // 128) * 128
-    chunks_blob = np.full((len(cid_list), Qpad), 4, np.int8)
-    chunk_lens = np.zeros(len(cid_list), np.int32)
+    n_chunk_rows = ((len(cid_list) + 63) // 64) * 64
+    chunks_blob = np.full((n_chunk_rows, Qpad), 4, np.int8)
+    chunk_lens = np.ones(n_chunk_rows, np.int32)
     for i, cid in enumerate(cid_list):
         s = chunk_seqs[cid]
         chunks_blob[i, :len(s)] = s
         chunk_lens[i] = len(s)
-    reads_blob = np.full((len(read_codes), Lmax), 4, np.int8)
-    read_lens = np.zeros(len(read_codes), np.int32)
-    for i, r in enumerate(read_codes):
-        reads_blob[i, :len(r)] = r
-        read_lens[i] = len(r)
-    # blobs cross the link ONCE; per-candidate metadata is tiny.  With a
-    # multi-device mesh the candidate batch is sharded over `data` (blobs
-    # replicated): candidates are independent, so this is the reference's
-    # rayon-over-reads parallelism as pure SPMD (SURVEY.md §2.5).
+    # the chunk set crosses the link ONCE; windows are built on the host
+    # (cheap numpy slices) and band offsets are derived on device from
+    # per-candidate scalars, so a batch transfers ~the window bytes only
     from ..parallel import get_mesh
     mesh = get_mesh()
-    if mesh is not None and batch % mesh.size == 0:
-        from ..parallel import replicate, shard_leading
-        dev = tuple(replicate(mesh, reads_blob, read_lens, chunks_blob,
-                              chunk_lens))
-
-        def put_cands(*arrs):
-            return shard_leading(mesh, *arrs)
+    if mesh is not None:
+        from ..parallel import replicate
+        dev_blob, dev_lens = replicate(mesh, chunks_blob, chunk_lens)
     else:
-        dev = (jax.device_put(reads_blob), jax.device_put(read_lens),
-               jax.device_put(chunks_blob), jax.device_put(chunk_lens))
+        dev_blob = jax.device_put(chunks_blob)
+        dev_lens = jax.device_put(chunk_lens)
+    rc_cache: dict[int, np.ndarray] = {}
 
-        def put_cands(*arrs):
-            return arrs
+    def strand_read(c):
+        if c.is_forward:
+            return read_codes[c.read_idx]
+        got = rc_cache.get(c.read_idx)
+        if got is None:
+            got = seqmod.revcomp(read_codes[c.read_idx])
+            rc_cache[c.read_idx] = got
+        return got
+
     dispatched = []
     for s in range(0, len(cands), batch):
         grp = cands[s:s + batch]
         B = batch  # fixed batch size: one compilation per shape bucket
-        cr = np.zeros(B, np.int32)
+        rs = np.full((B, Tpad), 4, np.int8)
         cc = np.zeros(B, np.int32)
-        cf = np.ones(B, bool)
-        cw = np.zeros(B, np.int32)
+        ws = np.zeros(B, np.int32)
+        astart = np.zeros(B, np.int32)
+        t_lens = np.ones(B, np.int32)
         for b, c in enumerate(grp):
-            cr[b] = c.read_idx
+            rseq = strand_read(c)
+            a = max(c.window_start, 0)
+            bnd = min(c.window_start + c.window_len, len(rseq))
+            win = rseq[a:bnd]
+            rs[b, :len(win)] = win
             cc[b] = cidx_of[c.chunk_id]
-            cf[b] = c.is_forward
-            cw[b] = c.window_start
-        cr, cc, cf, cw = put_cands(cr, cc, cf, cw)
-        handle = _extend_indexed(*dev, cr, cc, cf, cw, W, Qpad, Tpad, margin)
+            ws[b] = c.window_start
+            astart[b] = a
+            t_lens[b] = max(len(win), 1)
+        handle = _extend_hostwin(dev_blob, dev_lens, cc, rs, ws, astart,
+                                 t_lens, W, Qpad, margin)
         dispatched.append((grp, handle))
     results = []
     overflow = []
@@ -316,6 +320,7 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
                 "span_end": ej,
             }
             if not valid:
+                # only >DEL_TOPK deletion runs land here (rare)
                 overflow.append(rec)
             results.append(rec)
     if overflow:

@@ -298,6 +298,48 @@ def _extend_indexed(reads_blob, read_lens, chunks_blob, chunk_lens,
     return meta, ops_packed, delpack
 
 
+@functools.partial(jax.jit, static_argnames=("W", "Qpad", "margin"))
+def _extend_hostwin(chunks_blob, chunk_lens, cand_chunk, rs, wstart, astart,
+                    t_lens, W: int, Qpad: int, margin: int):
+    """Candidate verification with host-built windows: the read windows come
+    padded from the host (fast numpy slicing), while the per-candidate chunk
+    rows and the diagonal band offsets are derived ON DEVICE from ~scalars —
+    transfers stay small without the slow on-device read gathers."""
+    def one(cidx, win, ws, a, t_len):
+        cseq = chunks_blob[cidx]
+        q_len = chunk_lens[cidx]
+        diag = ws + margin - a
+        ii = np.arange(Qpad + 1)
+        hi = jnp.maximum(t_len - W + 1, 0)
+        off = jnp.clip(diag + ii - W // 2, 0, hi)
+        off_q = jnp.clip(diag + q_len - W // 2, 0, hi)
+        off = jnp.where(ii <= q_len, off, off_q).astype(jnp.int32)
+        score, end_j, ptrs, _last, Ls = _banded_edit(
+            cseq, win, off, q_len, t_len, W, "infix")
+        dels, ops, start_j = _traceback_on_device(ptrs, Ls, off, q_len,
+                                                  end_j, W)
+        return score, end_j, start_j, dels, ops
+
+    score, end_j, start_j, dels, ops = jax.vmap(one)(
+        cand_chunk, rs, wstart, astart, t_lens)
+    B, Q = ops.shape
+    Qp = (Q + 7) // 8 * 8
+    bits = jnp.pad((ops == 2).astype(jnp.uint8), ((0, 0), (0, Qp - Q)))
+    bits = bits.reshape(B, Qp // 8, 8)
+    weights = np.array([1, 2, 4, 8, 16, 32, 64, 128], np.uint8)
+    ops_packed = jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+    k = min(DEL_TOPK, Q)
+    dv, di = jax.lax.top_k(dels.astype(jnp.int32), k)
+    n_runs = jnp.sum((dels > 0).astype(jnp.int32), axis=1)
+    meta = jnp.stack([score.astype(jnp.int32), end_j.astype(jnp.int32),
+                      start_j.astype(jnp.int32), n_runs,
+                      jnp.ones_like(n_runs), astart.astype(jnp.int32)],
+                     axis=1)
+    delpack = jnp.concatenate([dv.astype(jnp.uint16),
+                               di.astype(jnp.uint16)], axis=1)
+    return meta, ops_packed, delpack
+
+
 def extend_indexed_batch(reads_blob, read_lens, chunks_blob, chunk_lens,
                          cand_read, cand_chunk, cand_fwd, cand_wstart,
                          W: int, Qpad: int, Tpad: int, margin: int,

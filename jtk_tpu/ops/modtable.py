@@ -298,8 +298,15 @@ modification_table_pileup = jax.jit(
 
 _table_assembly_batch = jax.jit(
     jax.vmap(modification_table_from_tables,
-             in_axes=(0, 0, 0, None, None, None, None,
+             in_axes=(0, 0, 0, 0, None, None, None,
                       0, (0, 0, 0), 0, 0, (0, 0, 0), 0)),
+    static_argnames=("W", "Tpad"),
+)
+
+# scan engine with per-pair templates (cross-chunk batching)
+modification_table_pairs = jax.jit(
+    jax.vmap(modification_table,
+             in_axes=(0, 0, 0, 0, 0, None, None, None)),
     static_argnames=("W", "Tpad"),
 )
 
@@ -335,11 +342,16 @@ def _pallas_modtable_fused(prep, params, W: int, Q: int, Tpad: int,
 
 def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
                                      W: int, Tpad: int,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     strands=None,
+                                     params_rev=None):
     """Pallas-engine modification tables: the banded fwd/bwd wavefronts run
     in the fused VMEM-resident kernels (ops.pallas_phmm) streaming tables to
     HBM; the oracle-tested closed-form assembly then reads them — all in a
-    single device dispatch.  Output matches modification_table_pileup."""
+    single device dispatch.  Output matches modification_table_pileup.
+
+    ``tpl`` may be one template (T,) with scalar ``t_len``, or per-pair
+    templates (B, T) with a (B,) ``t_len`` vector (cross-chunk batching)."""
     from .pallas_phmm import _prep_tables_inputs
     # Mosaic targets TPUs; anywhere else (tests, CPU golden runs) the
     # kernels execute in interpreter mode
@@ -347,8 +359,47 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
     # lanes come in 128s: widen sub-tile bands (the extra lanes only add
     # paths the narrow band clipped; all consumers use the same W)
     W = max(W, 128)
+    tpl = np.asarray(tpl)
+    if tpl.ndim == 1:
+        tpl = tpl[:Tpad]
+    else:
+        tpl = tpl[:, :Tpad]
+    qs = np.asarray(qs)
+    offs = np.asarray(offs)
+    q_lens = np.asarray(q_lens, np.int32)
+    B_all = qs.shape[0]
+    # cap the fused batch: the tables + assembly intermediates are
+    # O(B * Q * W) in HBM
+    MAXB = 192
+    # fixed-size slices, tail padded by repeating row 0: batch sizes land in
+    # a handful of compiled shapes {8,16,32,64,128,MAXB} regardless of the
+    # pileup (recompiles cost ~a minute on the tunneled TPU)
+    if B_all > 128:
+        B_slice = MAXB
+    else:
+        B_slice = max(8, 1 << int(np.ceil(np.log2(max(B_all, 1)))))
+    lks, tabs = [], []
+    for s in range(0, B_all, B_slice):
+        e = min(B_all, s + B_slice)
+        pad = B_slice - (e - s)
+        sl = np.concatenate([np.arange(s, e),
+                             np.zeros(pad, np.int64)])
+        tpl_s = tpl if tpl.ndim == 1 else tpl[sl]
+        tl_s = t_len if np.ndim(t_len) == 0 else np.asarray(t_len)[sl]
+        st_s = None if strands is None else np.asarray(strands)[sl]
+        lk, tab = _pileup_pallas_exact(
+            qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params, W,
+            Tpad, interpret, st_s, params_rev)
+        lks.append(np.asarray(lk)[:e - s])
+        tabs.append(np.asarray(tab)[:e - s])
+    return np.concatenate(lks), np.concatenate(tabs)
+
+
+def _pileup_pallas_exact(qs, tpl, offs, q_lens, t_len, params, W, Tpad,
+                         interpret, strands, params_rev):
+    from .pallas_phmm import _prep_tables_inputs
     prep, B0, _Qpad, Q, _B = _prep_tables_inputs(
-        np.asarray(qs), np.asarray(tpl)[:Tpad], np.asarray(offs),
-        np.asarray(q_lens, np.int32), int(t_len), params, W)
+        qs, tpl, offs, q_lens, t_len, params, W,
+        strands=strands, params_rev=params_rev)
     lk, tab = _pallas_modtable_fused(prep, params, W, Q, Tpad, interpret)
     return lk[:B0], tab[:B0]

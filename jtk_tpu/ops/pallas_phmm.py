@@ -188,7 +188,8 @@ BLK = 128
 
 def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
                        m0_ref, i0_ref, d0_ref, qlen_ref, tlen_ref,
-                       trans_ref, me_ref, ie_ref,
+                       strand_ref, trans_ref, me_ref, ie_ref,
+                       trans2_ref, me2_ref, ie2_ref,
                        outM, outI, outD, outLs_ref,
                        blkM, blkI, blkD, sems):
     """Forward pass streaming every banded row to HBM.
@@ -203,18 +204,25 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
     g = pl.program_id(0)
     W = rc0_ref.shape[1]
     Q = qs_ref.shape[1]
-    t = trans_ref[:]
-    tmm, tmi, tmd = t[0, 0], t[0, 1], t[0, 2]
-    tim, tii, tid = t[1, 0], t[1, 1], t[1, 2]
-    tdm, tdi, tdd = t[2, 0], t[2, 1], t[2, 2]
-    me = me_ref[:]
-    ie = ie_ref[:]
+    # per-pair strand flag picks the fwd- or rev-strand parameter set,
+    # merging the two strand passes into one dispatch
+    sflag = (strand_ref[:, 0] > 0).astype(jnp.float32)[:, None]  # (SUB,1)
+    t1, t2 = trans_ref[:], trans2_ref[:]
+
+    def tsel(i, j):
+        return (1.0 - sflag) * t1[i, j] + sflag * t2[i, j]
+
+    tmm, tmi, tmd = tsel(0, 0), tsel(0, 1), tsel(0, 2)
+    tim, tii, tid = tsel(1, 0), tsel(1, 1), tsel(1, 2)
+    tdm, tdi, tdd = tsel(2, 0), tsel(2, 1), tsel(2, 2)
+    me, me2 = me_ref[:], me2_ref[:]
+    ie, ie2 = ie_ref[:], ie2_ref[:]
     qlen = qlen_ref[:, 0]
     tlenf = tlen_ref[:, 0].astype(jnp.float32)
 
     def linrec(c, a):
         y = c
-        apow = jnp.full_like(c, a)
+        apow = jnp.broadcast_to(a, c.shape)
         shift = 1
         while shift < W:
             y = y + apow * _rollr(y, shift, 0.0)
@@ -266,11 +274,15 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
             j_n = j + s
             me_col = jnp.zeros((SUB, 4), jnp.float32)
             ei = jnp.zeros((SUB,), jnp.float32)
+            sf = sflag[:, 0]
             for b in range(4):
                 hit = (qc == b).astype(jnp.float32)
-                me_col = me_col + hit[:, None] * me[:4, b][None, :]
+                mb = (1.0 - sflag) * me[:4, b][None, :] \
+                    + sflag * me2[:4, b][None, :]
+                me_col = me_col + hit[:, None] * mb
                 for p in range(5):
-                    ei = ei + hit * jnp.where(qprev == p, 1.0, 0.0) * ie[p, b]
+                    ib = (1.0 - sf) * ie[p, b] + sf * ie2[p, b]
+                    ei = ei + hit * jnp.where(qprev == p, 1.0, 0.0) * ib
             em = emis_row(rc_n, me_col)
             ok = (j_n >= 1) & (j_n <= tlenf[:, None])
             em = jnp.where(ok, em, 0.0)
@@ -319,7 +331,9 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
 
 def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
                        rcq_ref, jq_ref, bm0_ref, bi0_ref, bd0_ref,
-                       qlen_ref, tlen_ref, trans_ref, me_ref, ie_ref,
+                       qlen_ref, tlen_ref, strand_ref,
+                       trans_ref, me_ref, ie_ref,
+                       trans2_ref, me2_ref, ie2_ref,
                        outM, outI, outD, outLs_ref,
                        blkM, blkI, blkD, sems):
     """Backward pass streaming rows Q-1..0 to HBM (mirror of
@@ -330,18 +344,23 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
     g = pl.program_id(0)
     W = rcq_ref.shape[1]
     Q = qnext_ref.shape[1]
-    t = trans_ref[:]
-    tmm, tmi, tmd = t[0, 0], t[0, 1], t[0, 2]
-    tim, tii, tid = t[1, 0], t[1, 1], t[1, 2]
-    tdm, tdi, tdd = t[2, 0], t[2, 1], t[2, 2]
-    me = me_ref[:]
-    ie = ie_ref[:]
+    sflag = (strand_ref[:, 0] > 0).astype(jnp.float32)[:, None]
+    t1, t2 = trans_ref[:], trans2_ref[:]
+
+    def tsel(i, j):
+        return (1.0 - sflag) * t1[i, j] + sflag * t2[i, j]
+
+    tmm, tmi, tmd = tsel(0, 0), tsel(0, 1), tsel(0, 2)
+    tim, tii, tid = tsel(1, 0), tsel(1, 1), tsel(1, 2)
+    tdm, tdi, tdd = tsel(2, 0), tsel(2, 1), tsel(2, 2)
+    me, me2 = me_ref[:], me2_ref[:]
+    ie, ie2 = ie_ref[:], ie2_ref[:]
     qlen = qlen_ref[:, 0]
     tlenf = tlen_ref[:, 0].astype(jnp.float32)
 
     def linrec_rev(c, a):
         y = c
-        apow = jnp.full_like(c, a)
+        apow = jnp.broadcast_to(a, c.shape)
         shift = 1
         while shift < W:
             y = y + apow * _rolll(y, shift, 0.0)
@@ -391,11 +410,15 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
             j_i = j - s                 # off[i] + k
             me_col = jnp.zeros((SUB, 4), jnp.float32)
             ei = jnp.zeros((SUB,), jnp.float32)
+            sf = sflag[:, 0]
             for b in range(4):
                 hit = (qc == b).astype(jnp.float32)
-                me_col = me_col + hit[:, None] * me[:4, b][None, :]
+                mb = (1.0 - sflag) * me[:4, b][None, :] \
+                    + sflag * me2[:4, b][None, :]
+                me_col = me_col + hit[:, None] * mb
                 for p in range(5):
-                    ei = ei + hit * jnp.where(qp == p, 1.0, 0.0) * ie[p, b]
+                    ib = (1.0 - sf) * ie[p, b] + sf * ie2[p, b]
+                    ei = ei + hit * jnp.where(qp == p, 1.0, 0.0) * ib
             em = emis_row(rc_i, me_col)
             em = jnp.where(j_i + 1.0 <= tlenf[:, None], em, 0.0)
             bM1_at = jnp.where(one, bM, _roll_left1(bM, 0.0))
@@ -448,7 +471,8 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
 
 @functools.partial(jax.jit, static_argnames=("W", "Q", "interpret"))
 def _pallas_fwd_tables(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp,
-                       trans, me, ie, W: int, Q: int, interpret: bool):
+                       strand, trans, me, ie, trans2, me2, ie2,
+                       W: int, Q: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -469,7 +493,8 @@ def _pallas_fwd_tables(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp,
         grid=(B // SUB,),
         in_specs=[row_spec(Q), row_spec(Q), row_spec(Q), row_spec(W),
                   row_spec(W), row_spec(W), row_spec(W), row_spec(W),
-                  row_spec(1), row_spec(1),
+                  row_spec(1), row_spec(1), row_spec(1),
+                  rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8)),
                   rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8))],
         out_specs=[any_spec, any_spec, any_spec, row_spec(Q)],
         out_shape=[jax.ShapeDtypeStruct((B, Q, W), jnp.float32)] * 3
@@ -477,14 +502,15 @@ def _pallas_fwd_tables(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp,
         scratch_shapes=[pltpu.VMEM((SUB, BLK, W), jnp.float32)] * 3
         + [pltpu.SemaphoreType.DMA((3,))],
         interpret=interpret,
-    )(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp, trans, me, ie)
+    )(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp, strand,
+      trans, me, ie, trans2, me2, ie2)
     return outs
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Q", "interpret"))
 def _pallas_bwd_tables(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0,
-                       qlp, tlp, trans, me, ie, W: int, Q: int,
-                       interpret: bool):
+                       qlp, tlp, strand, trans, me, ie, trans2, me2, ie2,
+                       W: int, Q: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -506,7 +532,8 @@ def _pallas_bwd_tables(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0,
         in_specs=[row_spec(Q), row_spec(Q), row_spec(Q), row_spec(Q),
                   row_spec(W), row_spec(W), row_spec(W), row_spec(W),
                   row_spec(W),
-                  row_spec(1), row_spec(1),
+                  row_spec(1), row_spec(1), row_spec(1),
+                  rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8)),
                   rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8))],
         out_specs=[any_spec, any_spec, any_spec, row_spec(Q)],
         out_shape=[jax.ShapeDtypeStruct((B, Q, W), jnp.float32)] * 3
@@ -514,106 +541,147 @@ def _pallas_bwd_tables(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0,
         scratch_shapes=[pltpu.VMEM((SUB, BLK, W), jnp.float32)] * 3
         + [pltpu.SemaphoreType.DMA((3,))],
         interpret=interpret,
-    )(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0, qlp, tlp, trans,
-      me, ie)
+    )(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0, qlp, tlp, strand,
+      trans, me, ie, trans2, me2, ie2)
     return outs
 
 
 def _prep_tables_inputs(qs, template, offsets, q_lens, t_len,
-                        params: PHMMParams, W: int):
+                        params: PHMMParams, W: int,
+                        strands=None, params_rev: PHMMParams | None = None):
     """Host-side prep, kept COMPACT for slow host links: only the padded
-    reads (int8), the 0/1 offset deltas (uint8), per-read scalars and the
-    tiny parameter tables cross to the device; everything else (band
-    streams, row-0 / backward-init closed forms) is expanded in-jit.
-    Returns (prep_dict, B0, Qpad, Q, B)."""
+    reads (int8), the padded per-pair templates (int8), the 0/1 offset
+    deltas (uint8), per-read scalars and the tiny parameter tables cross to
+    the device; everything else (band streams, row-0 / backward-init closed
+    forms) is expanded in-jit.
+
+    ``template`` may be one (T,) array shared by the batch or per-pair
+    (B0, T) rows with ``t_len`` a (B0,) vector.  Returns
+    (prep_dict, B0, Qpad, Q, B)."""
     B0, Qpad = qs.shape
     Q = ((Qpad + BLK - 1) // BLK) * BLK
     B = ((B0 + SUB - 1) // SUB) * SUB
-    t_len = int(t_len)
+    template = np.asarray(template, np.int8)
+    if template.ndim == 1:
+        t_lens = np.full(B0, int(t_len), np.int32)
+        templates = np.broadcast_to(template, (B0, len(template)))
+    else:
+        t_lens = np.asarray(t_len, np.int32)
+        templates = template
+    Tmax = templates.shape[1]
     qs_p = np.full((B, Q), 4, np.int8)
     qs_p[:B0, :Qpad] = qs
+    r_p = np.full((B, Tmax), 4, np.int8)
+    r_p[:B0] = templates
+    t_lens_p = np.ones(B, np.int32)
+    t_lens_p[:B0] = t_lens
     offs = np.zeros((B, Q + 1), np.int64)
     offs[:B0, :Qpad + 1] = offsets
     offs[:B0, Qpad + 1:] = offsets[:, -1:]
     offs[B0:] = offs[:1] if B0 else 0
     q_lens_p = np.ones(B, np.int32)
     q_lens_p[:B0] = q_lens
-    t = np.asarray(params.trans, np.float32)
-    trans = np.zeros((8, 8), np.float32)
-    trans[:3, :3] = t
-    me8 = np.zeros((8, 8), np.float32)
-    me8[:4, :4] = np.asarray(params.mat_emit, np.float32)
-    ie8 = np.zeros((8, 8), np.float32)
-    ie8[:5, :4] = np.asarray(params.ins_emit, np.float32)
-    r_arr = np.full(t_len + 1, 4, np.int8)
-    r_arr[:t_len] = np.asarray(template, np.int8)[:t_len]
+    def _tables(par):
+        t = np.asarray(par.trans, np.float32)
+        trans = np.zeros((8, 8), np.float32)
+        trans[:3, :3] = t
+        me8 = np.zeros((8, 8), np.float32)
+        me8[:4, :4] = np.asarray(par.mat_emit, np.float32)
+        ie8 = np.zeros((8, 8), np.float32)
+        ie8[:5, :4] = np.asarray(par.ins_emit, np.float32)
+        return trans, me8, ie8
+
+    trans, me8, ie8 = _tables(params)
+    trans2, me28, ie28 = _tables(params_rev) if params_rev is not None \
+        else (trans, me8, ie8)
+    strand_p = np.zeros(B, np.int32)
+    if strands is not None:
+        # flag 1 selects the SECOND (reverse-strand) parameter set;
+        # reads on the forward strand use set 1
+        strand_p[:B0] = (~np.asarray(strands, bool)).astype(np.int32)
     prep = dict(
         qs_p=qs_p,
         shifts=np.diff(offs, axis=1).astype(np.uint8),
         off0=offs[:, 0].astype(np.int32),
         q_lens_p=q_lens_p,
-        r=r_arr,
-        t_len=np.int32(t_len),
+        r=r_p,
+        t_len=t_lens_p,
+        strand=strand_p,
         trans=trans, me8=me8, ie8=ie8,
+        trans2=trans2, me28=me28, ie28=ie28,
     )
     return prep, B0, Qpad, Q, B
 
 
 def _tables_traced(prep, W: int, Q: int, interpret: bool):
     """Device-side prep expansion + both Pallas passes + stitching,
-    traceable inside an outer jit.  Returns
-    (lk, (fM,fI,fD), fcum, rcs, (bM,bI,bD), bcum) over the padded batch."""
+    traceable inside an outer jit.  Per-pair templates and t_lens.
+    Returns (lk, (fM,fI,fD), fcum, rcs, (bM,bI,bD), bcum, offs)."""
     p = prep
     qs_p = p["qs_p"].astype(jnp.int32)
     B = qs_p.shape[0]
     q_lens_p = p["q_lens_p"]
-    t_len = p["t_len"]
-    tlenf = t_len.astype(jnp.float32)
-    trans = p["trans"]
-    tmd, tdd, tid = trans[0, 2], trans[2, 2], trans[1, 2]
+    t_lens = p["t_len"]                       # (B,)
+    sf = p["strand"].astype(jnp.float32)[:, None]
+    tr1, tr2 = p["trans"], p["trans2"]
+    tmd = (1.0 - sf) * tr1[0, 2] + sf * tr2[0, 2]   # (B,1)
+    tdd = (1.0 - sf) * tr1[2, 2] + sf * tr2[2, 2]
+    tid = (1.0 - sf) * tr1[1, 2] + sf * tr2[1, 2]
     ks = np.arange(W)
+    kf = np.arange(W, dtype=np.float32)
     shifts32 = p["shifts"].astype(jnp.int32)
     offs = jnp.concatenate(
         [p["off0"][:, None],
          p["off0"][:, None] + jnp.cumsum(shifts32, axis=1)], axis=1)
-    # band character streams from the (tiny) template array
-    r_pad = jnp.concatenate([np.full(1, 4, np.int8), p["r"],
-                             np.full(W + Q + 2, 4, np.int8)])
-    r_pad2 = jnp.concatenate([p["r"], np.full(W + Q + 3, 4, np.int8)])
-    inc_f = r_pad[offs[:, 1:] + W - 1].astype(jnp.int32)
-    rc0 = r_pad[offs[:, :1] + ks[None]].astype(jnp.int32)
+    # per-pair band character streams from the padded template rows:
+    # r_pad[b, x] == 4 for x == 0, r[b, x-1] otherwise (front sentinel), and
+    # r_pad2[b, x] == r[b, x] (suffix chars), both padded with 4s
+    pad_tail = np.full((1, W + Q + 3), 4, np.int8)
+    r_pad = jnp.concatenate(
+        [np.full((1, 1), 4, np.int8).repeat(B, 0), p["r"],
+         jnp.broadcast_to(pad_tail, (B, pad_tail.shape[1]))], axis=1)
+    r_pad2 = jnp.concatenate(
+        [p["r"], jnp.broadcast_to(pad_tail, (B, pad_tail.shape[1])),
+         np.full((1, 1), 4, np.int8).repeat(B, 0)], axis=1)
+
+    def gat(arr, idx):
+        return jnp.take_along_axis(arr, idx, axis=1)
+
+    inc_f = gat(r_pad, offs[:, 1:] + W - 1).astype(jnp.int32)
+    rc0 = gat(r_pad, offs[:, :1] + ks[None]).astype(jnp.int32)
     j0 = (offs[:, :1] + ks[None]).astype(jnp.int32)
+    tl_col = t_lens[:, None]
     # forward row 0 (closed form: M at j=0, D chain along the row)
     M0 = (j0 == 0).astype(jnp.float32)
-    kf = np.arange(W, dtype=np.float32)
+    logtdd = jnp.log(jnp.maximum(tdd, 1e-30))    # (B,1)
     D0 = jnp.where(ks[None] >= 1,
-                   tmd * jnp.exp(jnp.log(jnp.maximum(tdd, 1e-30))
-                                 * jnp.maximum(kf[None] - 1, 0)),
-                   0.0) * (j0 <= t_len)
+                   tmd * jnp.exp(logtdd * jnp.maximum(kf[None] - 1, 0)),
+                   0.0) * (j0 <= tl_col)
     D0 = jnp.where(j0 >= 1, D0, 0.0).astype(jnp.float32)
     s0 = M0.sum(1, keepdims=True) + D0.sum(1, keepdims=True) + 1e-30
     M0n, D0n = (M0 / s0).astype(jnp.float32), (D0 / s0).astype(jnp.float32)
     I0n = jnp.zeros_like(M0n)
     ls0 = jnp.log(s0[:, 0]).astype(jnp.float32)
     qlp = q_lens_p[:, None].astype(jnp.int32)
-    tlp = jnp.full((B, 1), t_len, jnp.int32)
+    tlp = tl_col.astype(jnp.int32)
 
+    strand_col = p["strand"][:, None].astype(jnp.int32)
     fM_r, fI_r, fD_r, f_ls = _pallas_fwd_tables(
-        qs_p, shifts32, inc_f, rc0, j0, M0n, I0n, D0n, qlp, tlp,
-        p["trans"], p["me8"], p["ie8"], W, Q, interpret)
+        qs_p, shifts32, inc_f, rc0, j0, M0n, I0n, D0n, qlp, tlp, strand_col,
+        p["trans"], p["me8"], p["ie8"], p["trans2"], p["me28"], p["ie28"],
+        W, Q, interpret)
 
     # backward init at the frozen row (offsets beyond q_len are constant)
     bidx = np.arange(B)
     offQ = offs[bidx, q_lens_p]
     jQ = offQ[:, None] + ks[None]
-    kT = (t_len - offQ)[:, None].astype(jnp.float32)
+    kT = (t_lens - offQ)[:, None].astype(jnp.float32)
     expo = jnp.maximum(kT - kf[None], 0.0)
-    logtdd = jnp.log(jnp.maximum(tdd, 1e-30))
     bD0 = jnp.where(kf[None] <= kT, jnp.exp(logtdd * expo), 0.0)
     bD_next = jnp.concatenate([bD0[:, 1:], jnp.zeros((B, 1))], axis=1)
     bM0 = jnp.where(kf[None] == kT, 1.0, tmd * bD_next)
     bI0 = jnp.where(kf[None] == kT, 1.0, tid * bD_next)
-    valid = jQ <= t_len
+    valid = jQ <= tl_col
     bM0 = jnp.where(valid, bM0, 0.0)
     bI0 = jnp.where(valid, bI0, 0.0)
     bD0 = jnp.where(valid, bD0, 0.0)
@@ -625,13 +693,15 @@ def _tables_traced(prep, W: int, Q: int, interpret: bool):
     qnext = qs_p
     qprev_arr = jnp.concatenate([jnp.full((B, 1), 4, jnp.int32),
                                  qs_p[:, :-1]], axis=1)
-    inc_b = r_pad2[jnp.maximum(offs[:, :-1], 0)].astype(jnp.int32)
-    rcq = r_pad2[offs[:, -1:] + ks[None]].astype(jnp.int32)
+    inc_b = gat(r_pad2, jnp.maximum(offs[:, :-1], 0)).astype(jnp.int32)
+    rcq = gat(r_pad2, offs[:, -1:] + ks[None]).astype(jnp.int32)
     jq = (offs[:, -1:] + ks[None]).astype(jnp.int32)
 
     bM_r, bI_r, bD_r, b_ls = _pallas_bwd_tables(
         qnext, qprev_arr, shifts32, inc_b, rcq, jq, bM0n, bI0n, bD0n,
-        qlp, tlp, p["trans"], p["me8"], p["ie8"], W, Q, interpret)
+        qlp, tlp, strand_col,
+        p["trans"], p["me8"], p["ie8"], p["trans2"], p["me28"], p["ie28"],
+        W, Q, interpret)
 
     fM = jnp.concatenate([M0n[:, None], fM_r], axis=1)
     fI = jnp.concatenate([I0n[:, None], fI_r], axis=1)
@@ -648,11 +718,12 @@ def _tables_traced(prep, W: int, Q: int, interpret: bool):
     b_lss = jnp.concatenate([b_ls, zcol], axis=1)
     b_lss = b_lss.at[bidx, q_lens_p].set(lsI)
     bcum = jnp.flip(jnp.cumsum(jnp.flip(b_lss, 1), axis=1), 1)
-    k_end = jnp.clip(t_len - offQ, 0, W - 1)
+    k_end = jnp.clip(t_lens - offQ, 0, W - 1)
     fin = (fM[bidx, q_lens_p, k_end] + fI[bidx, q_lens_p, k_end]
            + fD[bidx, q_lens_p, k_end])
     lk = jnp.log(fin + 1e-30) + fcum[bidx, q_lens_p]
-    rcs = r_pad[offs[:, :, None] + ks[None, None, :]]
+    rcs = gat(r_pad, (offs[:, :, None] + ks[None, None, :])
+              .reshape(B, -1)).reshape(B, Q + 1, W)
     return lk, (fM, fI, fD), fcum, rcs, (bM, bI, bD), bcum, offs
 
 

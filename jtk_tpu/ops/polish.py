@@ -29,7 +29,7 @@ def effective_band(W: int, q_lens, t_len: int) -> int:
     """Widen the band so unit-step offsets can reach (q_len, t_len) even for
     reads shorter than the template (rounded to 64 to bucket compilations)."""
     deficit = max(0, int(t_len) - int(np.min(q_lens)))
-    return max(W, ((W // 2 + deficit + 63) // 64) * 64)
+    return max(W, ((W // 2 + deficit + 127) // 128) * 128)
 
 
 def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
@@ -50,7 +50,7 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
     tpl = _pad_to(template, Tpad, 4)
     R = len(reads)
     Qpad = int(max(len(r) for r in reads))
-    Qpad = ((Qpad + 63) // 64) * 64
+    Qpad = ((Qpad + 255) // 256) * 256
     qs = np.stack([_pad_to(r, Qpad, 4) for r in reads])
     q_lens = np.array([len(r) for r in reads], np.int32)
     W = effective_band(W, q_lens, t_len)
@@ -124,6 +124,96 @@ def apply_edits(template: np.ndarray, edits) -> np.ndarray:
             d = e - 8 - COPY_SIZE + 1
             t = np.concatenate([t[:j], t[j + d:]])
     return t.astype(np.int8)
+
+
+def polish_many(templates: list, pileups: list, params: PHMMParams,
+                W: int = 128, max_rounds: int = 20, min_gain: float = 0.1,
+                spacing: int = 8, strands: list | None = None,
+                params_rev: PHMMParams | None = None):
+    """Polish MANY templates against their own pileups simultaneously.
+
+    One fused device call per round covers every (read, its-template) pair
+    across all pileups — on high-latency links this turns per-template
+    polishing (reference: rayon over chunks / windows) into a handful of
+    dispatches.  Templates converge independently and drop out of later
+    rounds.  Returns (polished_templates, per_template_lks)."""
+    from .modtable import (modification_table_pairs,
+                           modification_table_pileup_pallas, use_pallas)
+    n = len(templates)
+    tpls = [np.asarray(t, np.int8) for t in templates]
+    active = [len(p) > 0 and len(t) > 0 for p, t in zip(pileups, tpls)]
+    lks = [np.zeros(len(p)) for p in pileups]
+    if strands is None:
+        strands = [None] * n
+    pallas_on = use_pallas()
+    Tpad = ((max((len(t) for t in tpls), default=1) + 127) // 128) * 128 + 128
+    for _ in range(max_rounds):
+        idxs = [i for i in range(n) if active[i]]
+        if not idxs:
+            break
+        while any(len(tpls[i]) + 8 > Tpad for i in idxs):
+            Tpad += 128
+        # flat batch of (read, template-of-its-pileup) pairs
+        pair_tpl_idx, pair_reads, pair_strand = [], [], []
+        for i in idxs:
+            for rj, r in enumerate(pileups[i]):
+                pair_tpl_idx.append(i)
+                pair_reads.append(r)
+                pair_strand.append(True if strands[i] is None
+                                   else bool(strands[i][rj]))
+        q_lens = np.array([len(r) for r in pair_reads], np.int32)
+        t_lens = np.array([len(tpls[i]) for i in pair_tpl_idx], np.int32)
+        Weff = max(W, ((W // 2 + int(np.max(t_lens - q_lens, initial=0))
+                        + 127) // 128) * 128)
+        Qpad = ((int(q_lens.max()) + 255) // 256) * 256
+        Bp = len(pair_reads)
+        qs = np.full((Bp, Qpad), 4, np.int8)
+        for b, r in enumerate(pair_reads):
+            qs[b, :len(r)] = r
+        tpl_mat = np.full((Bp, Tpad), 4, np.int8)
+        for b, i in enumerate(pair_tpl_idx):
+            tpl_mat[b, :len(tpls[i])] = tpls[i]
+        offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Weff)
+                         for ql, tl in zip(q_lens, t_lens)])
+        totals = {i: np.zeros((Tpad + 1, NUM_EDIT)) for i in idxs}
+        pair_strand = np.asarray(pair_strand, bool)
+        if pallas_on:
+            groups = [(np.arange(Bp), params, pair_strand,
+                       params_rev)]
+        elif params_rev is None:
+            groups = [(np.arange(Bp), params, None, None)]
+        else:
+            groups = [(np.nonzero(pair_strand)[0], params, None, None),
+                      (np.nonzero(~pair_strand)[0], params_rev, None, None)]
+        for sel, par, st, prev_ in groups:
+            if len(sel) == 0:
+                continue
+            if pallas_on:
+                lk, tab = modification_table_pileup_pallas(
+                    qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
+                    t_lens[sel], par, Weff, Tpad,
+                    strands=st, params_rev=prev_)
+            else:
+                lk, tab = modification_table_pairs(
+                    qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
+                    t_lens[sel], par, Weff, Tpad)
+            lk = np.asarray(lk, np.float64)
+            tab = np.asarray(tab, np.float64)
+            gain = np.where(tab < -1e29, -1e30, tab - lk[:, None, None])
+            for b_pos, b in enumerate(sel):
+                i = pair_tpl_idx[b]
+                totals[i] += gain[b_pos]
+        progressed = False
+        for i in idxs:
+            edits = choose_edits(totals[i], len(tpls[i]), min_gain, spacing)
+            if edits:
+                tpls[i] = apply_edits(tpls[i], edits)
+                progressed = True
+            else:
+                active[i] = False
+        if not progressed:
+            break
+    return tpls, lks
 
 
 def polish_until_converge(template: np.ndarray, reads: list[np.ndarray],

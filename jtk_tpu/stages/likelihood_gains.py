@@ -25,6 +25,7 @@ from ..ops.banded_align import linear_offsets
 from ..ops.phmm import PHMMParams, hmm_generate, likelihood_pairs
 
 DIFF_TYPES = ("sub", "del", "ins")
+_GAINS_CACHE: dict = {}
 MAX_HOMOP = 3
 SEQ_LEN = 100
 N_TEMPLATES = 40
@@ -155,41 +156,56 @@ def estimate_gains(params: PHMMParams, error_rate: ErrorRate | None = None,
                    n_reads: int = N_READS, seq_len: int = SEQ_LEN,
                    W: int = BAND,
                    params_rev: PHMMParams | None = None) -> Gains:
+    key = (seed, n_templates, n_reads, seq_len, W,
+           float(np.asarray(params.trans).sum()),
+           float(np.asarray(params.mat_emit).sum()),
+           float(np.asarray(params.ins_emit).sum()))
+    cached = _GAINS_CACHE.get(key)
+    if cached is not None:
+        return cached
     rng = np.random.default_rng(seed)
     params_rev = params_rev or params
     expected_h = {d: np.zeros(MAX_HOMOP) for d in DIFF_TYPES}
     null_h = {d: np.zeros(MAX_HOMOP) for d in DIFF_TYPES}
-    for dt in DIFF_TYPES:
-        for hlen in range(1, MAX_HOMOP + 1):
-            gain_pairs, base_pairs = [], []
-            null_t_pairs, null_d_pairs = [], []
-            for _ in range(n_templates):
-                seg1 = rng.integers(0, 4, seq_len // 2).astype(np.int8)
-                seg2 = rng.integers(0, 4, seq_len // 2).astype(np.int8)
-                hap1, hap2 = _gen_diff_haplotypes(rng, hlen, dt)
-                template = np.concatenate([seg1, hap1, seg2])
-                diff = np.concatenate([seg1, hap2, seg2])
-                for t in range(n_reads):
-                    par = params if t % 2 == 0 else params_rev
-                    read = hmm_generate(rng, diff, par)
-                    gain_pairs.append((read, diff))
-                    base_pairs.append((read, template))
-                    nread = hmm_generate(rng, template, par)
-                    null_t_pairs.append((nread, template))
-                    null_d_pairs.append((nread, diff))
-            lk_d = _batched_lks(gain_pairs, params, W)
-            lk_b = _batched_lks(base_pairs, params, W)
-            lk_nt = _batched_lks(null_t_pairs, params, W)
-            lk_nd = _batched_lks(null_d_pairs, params, W)
-            gains = (lk_d - lk_b).reshape(n_templates, n_reads)
-            med = np.median(gains, axis=1)
-            exp_gain = float(np.quantile(med, 0.10))
-            min_gain = exp_gain / 10.0 if dt == "sub" else 1e-4
-            nulls = (lk_nd > lk_nt + min_gain).reshape(n_templates, n_reads)
-            prob = float(np.quantile(nulls.mean(1), 2.0 / 3.0))
-            expected_h[dt][hlen - 1] = max(exp_gain, 0.5)
-            null_h[dt][hlen - 1] = min(max(prob, 1e-9), 0.5)
-    return Gains(expected_h, null_h)
+    # the whole (difftype x homopolymer-length) sweep shares FOUR device
+    # calls — per-combo dispatches round-trip a high-latency link 36 times
+    combos = [(dt, hlen) for dt in DIFF_TYPES
+              for hlen in range(1, MAX_HOMOP + 1)]
+    gain_pairs, base_pairs, null_t_pairs, null_d_pairs = [], [], [], []
+    for dt, hlen in combos:
+        for _ in range(n_templates):
+            seg1 = rng.integers(0, 4, seq_len // 2).astype(np.int8)
+            seg2 = rng.integers(0, 4, seq_len // 2).astype(np.int8)
+            hap1, hap2 = _gen_diff_haplotypes(rng, hlen, dt)
+            template = np.concatenate([seg1, hap1, seg2])
+            diff = np.concatenate([seg1, hap2, seg2])
+            for t in range(n_reads):
+                par = params if t % 2 == 0 else params_rev
+                read = hmm_generate(rng, diff, par)
+                gain_pairs.append((read, diff))
+                base_pairs.append((read, template))
+                nread = hmm_generate(rng, template, par)
+                null_t_pairs.append((nread, template))
+                null_d_pairs.append((nread, diff))
+    lk_d = _batched_lks(gain_pairs, params, W)
+    lk_b = _batched_lks(base_pairs, params, W)
+    lk_nt = _batched_lks(null_t_pairs, params, W)
+    lk_nd = _batched_lks(null_d_pairs, params, W)
+    per = n_templates * n_reads
+    for ci, (dt, hlen) in enumerate(combos):
+        sl = slice(ci * per, (ci + 1) * per)
+        gains = (lk_d[sl] - lk_b[sl]).reshape(n_templates, n_reads)
+        med = np.median(gains, axis=1)
+        exp_gain = float(np.quantile(med, 0.10))
+        min_gain = exp_gain / 10.0 if dt == "sub" else 1e-4
+        nulls = (lk_nd[sl] > lk_nt[sl] + min_gain).reshape(n_templates,
+                                                           n_reads)
+        prob = float(np.quantile(nulls.mean(1), 2.0 / 3.0))
+        expected_h[dt][hlen - 1] = max(exp_gain, 0.5)
+        null_h[dt][hlen - 1] = min(max(prob, 1e-9), 0.5)
+    out = Gains(expected_h, null_h)
+    _GAINS_CACHE[key] = out
+    return out
 
 
 def estimate_minimum_gain(params: PHMMParams,

@@ -108,6 +108,17 @@ def _pileup_tables(reads, strands, template, params_f, params_r, W, Tpad,
     strands = np.asarray(strands, bool)
     from ..ops.modtable import modification_table_pileup_pallas, use_pallas
     pallas_on = use_pallas()
+    if pallas_on:
+        lk, tab = modification_table_pileup_pallas(
+            qs, tpl, offs, q_lens, np.int32(t_len), params_f, W, Tpad,
+            strands=strands, params_rev=params_r)
+        lk = np.asarray(lk)
+        tab = np.asarray(tab)
+        lks[:] = lk
+        g = tab - lk[:, None, None]
+        g = np.where(tab < -1e29, 0.0, g)
+        profs[:] = g.reshape(R, -1)
+        return lks, profs
     for fwd in (True, False):
         idx = np.nonzero(strands == fwd)[0]
         if len(idx) == 0:
@@ -115,14 +126,9 @@ def _pileup_tables(reads, strands, template, params_f, params_r, W, Tpad,
         par = params_f if fwd else params_r
         for s in range(0, len(idx), max_batch):
             sel = idx[s:s + max_batch]
-            if pallas_on:
-                lk, tab = modification_table_pileup_pallas(
-                    qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
-                    par, W, Tpad)
-            else:
-                lk, tab = modification_table_pileup(
-                    qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
-                    par, W, Tpad)
+            lk, tab = modification_table_pileup(
+                qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
+                par, W, Tpad)
             lk = np.asarray(lk)
             tab = np.asarray(tab)
             lks[sel] = lk
@@ -483,10 +489,125 @@ def _use_highest_gain(X: np.ndarray):
     return asn, sc
 
 
+def _batched_profiles(per_chunk, params_f, params_r, band, Tpad,
+                      max_batch=256):
+    """Per-read modification-table profiles for ALL chunks in two strand
+    passes (per-pair templates): {cid: (lks, profs)}."""
+    from ..ops.banded_align import linear_offsets
+    from ..ops.modtable import (modification_table_pairs,
+                                modification_table_pileup_pallas, use_pallas)
+    from ..ops.polish import effective_band
+    pallas_on = use_pallas()
+    pair_cid, pair_reads, pair_strand, pair_tpl = [], [], [], []
+    for cid, (reads, strands, template) in per_chunk.items():
+        for r, s in zip(reads, strands):
+            pair_cid.append(cid)
+            pair_reads.append(r)
+            pair_strand.append(bool(s))
+            pair_tpl.append(template)
+    if not pair_reads:
+        return {}
+    q_lens = np.array([len(r) for r in pair_reads], np.int32)
+    t_lens = np.array([len(t) for t in pair_tpl], np.int32)
+    Weff = max(band, ((band // 2 + int(np.max(t_lens - q_lens, initial=0))
+                       + 127) // 128) * 128)
+    Qpad = ((int(q_lens.max()) + 255) // 256) * 256
+    Bp = len(pair_reads)
+    qs = np.full((Bp, Qpad), 4, np.int8)
+    tpl_mat = np.full((Bp, Tpad), 4, np.int8)
+    for b, (r, t) in enumerate(zip(pair_reads, pair_tpl)):
+        qs[b, :len(r)] = r
+        tpl_mat[b, :len(t)] = t
+    offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Weff)
+                     for ql, tl in zip(q_lens, t_lens)])
+    lks_all = np.zeros(Bp)
+    profs_all = np.zeros((Bp, (Tpad + 1) * NUM_EDIT), np.float32)
+    pair_strand = np.asarray(pair_strand, bool)
+    if pallas_on:
+        # one strand-merged pass (per-pair parameter select in-kernel)
+        lk, tab = modification_table_pileup_pallas(
+            qs, tpl_mat, offs, q_lens, t_lens, params_f, Weff, Tpad,
+            strands=pair_strand, params_rev=params_r)
+        lk = np.asarray(lk)
+        tab = np.asarray(tab)
+        g = np.where(tab < -1e29, 0.0, tab - lk[:, None, None])
+        lks_all[:] = lk
+        profs_all[:] = g.reshape(Bp, -1)
+    else:
+        for fwd in (True, False):
+            idx = np.nonzero(pair_strand == fwd)[0]
+            par = params_f if fwd else params_r
+            for s in range(0, len(idx), max_batch):
+                sel = idx[s:s + max_batch]
+                if len(sel) == 0:
+                    continue
+                lk, tab = modification_table_pairs(
+                    qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
+                    t_lens[sel], par, Weff, Tpad)
+                lk = np.asarray(lk)
+                tab = np.asarray(tab)
+                g = np.where(tab < -1e29, 0.0, tab - lk[:, None, None])
+                lks_all[sel] = lk
+                profs_all[sel] = g.reshape(len(sel), -1)
+    out = {}
+    pair_cid = np.asarray(pair_cid)
+    for cid in per_chunk:
+        m = pair_cid == cid
+        out[cid] = (lks_all[m], profs_all[m])
+    return out
+
+
+def _batched_refresh_cigars(per_chunk, band, max_batch=512):
+    """Banded global alignments of every (read, its-chunk-template) pair in
+    one sweep: {cid: [cigar]}."""
+    from ..ops.banded_align import align_with_cigar_batch, linear_offsets
+    pair_cid, pair_reads, pair_tpl = [], [], []
+    for cid, (reads, _strands, template) in per_chunk.items():
+        for r in reads:
+            pair_cid.append(cid)
+            pair_reads.append(r)
+            pair_tpl.append(template)
+    if not pair_reads:
+        return {}
+    q_lens = np.array([len(r) for r in pair_reads], np.int32)
+    t_lens = np.array([len(t) for t in pair_tpl], np.int32)
+    Weff = max(band, ((band // 2 + int(np.max(t_lens - q_lens, initial=0))
+                       + 127) // 128) * 128)
+    Qpad = ((int(q_lens.max()) + 255) // 256) * 256
+    Tmax = ((int(t_lens.max()) + 63) // 64) * 64
+    cigars = []
+    for s in range(0, len(pair_reads), max_batch):
+        e = min(len(pair_reads), s + max_batch)
+        B = e - s
+        qs = np.full((B, Qpad), 4, np.int8)
+        rs = np.full((B, Tmax), 4, np.int8)
+        offs = np.zeros((B, Qpad + 1), np.int32)
+        for b in range(B):
+            qs[b, :q_lens[s + b]] = pair_reads[s + b]
+            rs[b, :t_lens[s + b]] = pair_tpl[s + b]
+            offs[b] = linear_offsets(int(q_lens[s + b]), int(t_lens[s + b]),
+                                     Qpad, Weff)
+        res = align_with_cigar_batch(qs, rs, offs, q_lens[s:e], t_lens[s:e],
+                                     Weff, "global")
+        cigars.extend(res["cigar"])
+    out = {}
+    pair_cid = np.asarray(pair_cid)
+    pos = 0
+    for cid, (reads, _s, _t) in per_chunk.items():
+        out[cid] = cigars[pos:pos + len(reads)]
+        pos += len(reads)
+    return out
+
+
 def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
                      polish_cap: int = 60, restarts: int = 20,
                      flips_per_read: int = 2000,
                      selection: set | None = None) -> DataSet:
+    """Per-chunk phasing with CROSS-CHUNK device batching: one polish round,
+    one cigar-refresh sweep and one profile pass per strand cover every
+    chunk's pileup simultaneously (the reference's rayon-per-chunk loop,
+    local_clustering/mod.rs:56-121, recast as flat device batches)."""
+    from ..ops.polish import polish_many
     coverage = update_coverage(ds)
     params_f = PHMMParams.from_hmmparam(ds.model_param.forward)
     params_r = PHMMParams.from_hmmparam(ds.model_param.reverse)
@@ -495,6 +616,8 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
     chunks = {c.id: c for c in ds.selected_chunks}
     features = {}
     rng = np.random.default_rng(seed)
+    # gather all pileups up front
+    work = {}
     for cid, members in pileups.items():
         if selection is not None and cid not in selection:
             continue
@@ -502,45 +625,76 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
         if not members:
             chunk.cluster_num = 1
             continue
-        t0 = time.time()
         reads = [seqmod.encode(ds.encoded_reads[ri].nodes[ni].seq)
                  for ri, ni in members]
         strands = np.array([ds.encoded_reads[ri].nodes[ni].is_forward
                             for ri, ni in members])
-        band = W or max(ReadType.band_width(ds.read_type, len(chunk.seq)), 64)
-        band = ((band + 63) // 64) * 64
-        # 1. polish consensus (coverage-capped)
+        work[cid] = (members, reads, strands)
+    if not work:
+        ds.push_stage("LocalClustering", [f"seed={seed}"])
+        return ds
+    band = W or max(max(ReadType.band_width(ds.read_type,
+                                            len(chunks[cid].seq))
+                        for cid in work), 64)
+    band = ((band + 63) // 64) * 64
+    # 1. batched polish of every chunk consensus (coverage-capped)
+    t0 = time.time()
+    order = sorted(work)
+    polish_sets = []
+    strand_sets = []
+    for cid in order:
+        _m, reads, strands = work[cid]
         sel = rng.permutation(len(reads))[:polish_cap]
-        template, _ = polish_until_converge(
-            chunk.codes(), [reads[i] for i in sel], params_f, W=band)
-        chunk.seq = seqmod.decode(template).decode()
-        t_polish = time.time() - t0
-        # re-align members to the polished consensus so node CIGARs (and
-        # every downstream error model) stay in sync
-        # (reference: update_by_clusterings, local_clustering/mod.rs:244)
-        new_cigars = _refresh_cigars(reads, template, band)
-        for (ri, ni), cg in zip(members, new_cigars):
+        polish_sets.append([reads[i] for i in sel])
+        strand_sets.append(strands[sel])
+    tpls, _ = polish_many([chunks[cid].codes() for cid in order],
+                          polish_sets, params_f, W=band,
+                          strands=strand_sets, params_rev=params_r)
+    templates = {}
+    for cid, tpl in zip(order, tpls):
+        chunks[cid].seq = seqmod.decode(np.asarray(tpl, np.int8)).decode()
+        templates[cid] = np.asarray(tpl, np.int8)
+    t_polish = time.time() - t0
+    # 2. batched cigar refresh so node CIGARs (and every downstream error
+    # model) stay in sync (reference: update_by_clusterings, mod.rs:244)
+    per_chunk = {cid: (work[cid][1], work[cid][2], templates[cid])
+                 for cid in order}
+    refreshed = _batched_refresh_cigars(per_chunk, band)
+    for cid in order:
+        for (ri, ni), cg in zip(work[cid][0], refreshed[cid]):
             ds.encoded_reads[ri].nodes[ni].cigar = cg
-        # high-copy repeats: recursive 4-way split instead of one flat MCMC
-        if chunk.copy_num >= UPPER_COPY_NUM and \
-                len(reads) > chunk.copy_num:
-            asn, post, score, k = cluster_recursive(
-                reads, strands, template, params_f, params_r, band, gains,
-                coverage, chunk.copy_num,
-                len(reads) / max(chunk.copy_num, 1), seed + cid,
-                polish_cap=polish_cap)
-            chunk.cluster_num = int(max(k, 1))
-            chunk.score = float(score)
-            for (ri, ni), a, p in zip(members, asn, post):
-                node = ds.encoded_reads[ri].nodes[ni]
-                node.cluster = int(a)
-                node.posterior = [float(x) for x in p]
+    # high-copy repeats take the recursive path (rare; per-chunk calls)
+    recursive_cids = [cid for cid in order
+                      if chunks[cid].copy_num >= UPPER_COPY_NUM
+                      and len(work[cid][1]) > chunks[cid].copy_num]
+    for cid in recursive_cids:
+        members, reads, strands = work[cid]
+        chunk = chunks[cid]
+        asn, post, score, k = cluster_recursive(
+            reads, strands, templates[cid], params_f, params_r, band, gains,
+            coverage, chunk.copy_num,
+            len(reads) / max(chunk.copy_num, 1), seed + cid,
+            polish_cap=polish_cap)
+        chunk.cluster_num = int(max(k, 1))
+        chunk.score = float(score)
+        for (ri, ni), a, p in zip(members, asn, post):
+            node = ds.encoded_reads[ri].nodes[ni]
+            node.cluster = int(a)
+            node.posterior = [float(x) for x in p]
+        del per_chunk[cid]
+    # 3. batched per-read profiles for every remaining chunk
+    Tpad = ((max((len(t) for t in templates.values()), default=1) + 127)
+            // 128) * 128
+    prof_by_chunk = _batched_profiles(per_chunk, params_f, params_r, band,
+                                      Tpad)
+    for cid in order:
+        if cid not in per_chunk:
             continue
-        # 2. per-read profiles
-        Tpad = ((len(template) + 127) // 128) * 128
-        lks, profs = _pileup_tables(reads, strands, template, params_f,
-                                    params_r, band, Tpad)
-        # 3. variant columns
+        chunk = chunks[cid]
+        members, reads, strands = work[cid]
+        template = templates[cid]
+        _lks, profs = prof_by_chunk[cid]
+        # 4. variant columns
         cols = filter_variants(template, profs, strands, gains, coverage,
                                chunk.copy_num)
         if chunk.copy_num < 2 or len(cols) == 0 or \

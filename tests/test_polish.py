@@ -38,3 +38,24 @@ def test_polish_recovers_template():
     d0, _, _, _ = edit_align(draft, true, W=64, mode="global")
     assert d <= max(1, d0 // 8), (d0, d)
     assert len(lks) == 12
+
+
+def test_polish_many_matches_single():
+    from jtk_tpu.datamodel import HMMParam
+    from jtk_tpu.io import sim
+    from jtk_tpu.ops.phmm import PHMMParams
+    from jtk_tpu.ops.polish import polish_many, polish_until_converge
+    rng = np.random.default_rng(8)
+    params = PHMMParams.from_hmmparam(HMMParam())
+    tpls, pileups = [], []
+    for _ in range(3):
+        true = sim.random_genome(rng, 180)
+        draft = sim.noisy_read(rng, true, 0.03)
+        reads = [sim.noisy_read(rng, true, 0.06) for _ in range(12)]
+        tpls.append(draft)
+        pileups.append(reads)
+    many, _ = polish_many(tpls, pileups, params, W=64, max_rounds=8)
+    for t, p, m in zip(tpls, pileups, many):
+        single, _ = polish_until_converge(t, p, params, W=64, max_rounds=8)
+        assert np.array_equal(np.asarray(m), np.asarray(single)), \
+            (len(m), len(single))
