@@ -283,11 +283,12 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
             rc_cache[c.read_idx] = got
         return got
 
+    from ..ops.banded_align import pack2bit
     dispatched = []
     for s in range(0, len(cands), batch):
         grp = cands[s:s + batch]
         B = batch  # fixed batch size: one compilation per shape bucket
-        rs = np.full((B, Tpad), 4, np.int8)
+        rs = np.zeros((B, Tpad), np.int8)  # 0-fill: masked by t_lens on device
         cc = np.zeros(B, np.int32)
         ws = np.zeros(B, np.int32)
         astart = np.zeros(B, np.int32)
@@ -302,8 +303,8 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
             ws[b] = c.window_start
             astart[b] = a
             t_lens[b] = max(len(win), 1)
-        handle = _extend_hostwin(dev_blob, dev_lens, cc, rs, ws, astart,
-                                 t_lens, W, Qpad, margin)
+        handle = _extend_hostwin(dev_blob, dev_lens, cc, pack2bit(rs), ws,
+                                 astart, t_lens, W, Qpad, Tpad, margin)
         dispatched.append((grp, handle))
     results = []
     overflow = []

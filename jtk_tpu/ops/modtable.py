@@ -330,11 +330,14 @@ def _pallas_modtable_fused(prep, params, W: int, Q: int, Tpad: int,
                            interpret: bool):
     """One dispatch: both Pallas table passes + stitching + the closed-form
     edit-table assembly over the whole (padded) batch."""
+    from .banded_align import _unpack2bit
     from .pallas_phmm import _tables_traced
     lk, f_tabs, fcum, rcs, b_tabs, bcum, offs = _tables_traced(
         prep, W, Q, interpret)
+    qs_p = jnp.where(np.arange(Q) < prep["q_lens_p"][:, None],
+                     _unpack2bit(prep["qs_packed"], Q), 4).astype(jnp.int8)
     lk2, tab = _table_assembly_batch(
-        prep["qs_p"], offs, prep["q_lens_p"],
+        qs_p, offs, prep["q_lens_p"],
         prep["t_len"], params, W, Tpad,
         lk, f_tabs, fcum, rcs, b_tabs, bcum)
     return lk2, tab
@@ -356,9 +359,10 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
     # Mosaic targets TPUs; anywhere else (tests, CPU golden runs) the
     # kernels execute in interpreter mode
     interpret = interpret or jax.default_backend() != "tpu"
-    # lanes come in 128s: widen sub-tile bands (the extra lanes only add
-    # paths the narrow band clipped; all consumers use the same W)
-    W = max(W, 128)
+    # lanes come in 128s: round the band UP to a lane multiple (the extra
+    # lanes only add paths the narrow band clipped; Mosaic rejects sub-tile
+    # or non-multiple widths like 64 or 192 with memref_slice errors)
+    W = ((int(W) + 127) // 128) * 128
     tpl = np.asarray(tpl)
     if tpl.ndim == 1:
         tpl = tpl[:Tpad]

@@ -568,11 +568,15 @@ def _prep_tables_inputs(qs, template, offsets, q_lens, t_len,
     else:
         t_lens = np.asarray(t_len, np.int32)
         templates = template
-    Tmax = templates.shape[1]
-    qs_p = np.full((B, Q), 4, np.int8)
-    qs_p[:B0, :Qpad] = qs
-    r_p = np.full((B, Tmax), 4, np.int8)
-    r_p[:B0] = templates
+    Tmax = ((templates.shape[1] + 3) // 4) * 4
+    # 2-bit packed transfers (reads/templates are pure ACGT; the padding
+    # beyond q_len/t_len is re-masked to 4 on device)
+    qs_p = np.zeros((B, Q), np.int8)
+    qs_p[:B0, :Qpad] = np.where(
+        np.arange(Qpad) < np.asarray(q_lens)[:, None], qs, 0)
+    r_p = np.zeros((B, Tmax), np.int8)
+    r_p[:B0, :templates.shape[1]] = np.where(
+        np.arange(templates.shape[1]) < t_lens[:, None], templates, 0)
     t_lens_p = np.ones(B, np.int32)
     t_lens_p[:B0] = t_lens
     offs = np.zeros((B, Q + 1), np.int64)
@@ -599,12 +603,13 @@ def _prep_tables_inputs(qs, template, offsets, q_lens, t_len,
         # flag 1 selects the SECOND (reverse-strand) parameter set;
         # reads on the forward strand use set 1
         strand_p[:B0] = (~np.asarray(strands, bool)).astype(np.int32)
+    from .banded_align import pack2bit
     prep = dict(
-        qs_p=qs_p,
+        qs_packed=pack2bit(qs_p),
+        r_packed=pack2bit(r_p),
         shifts=np.diff(offs, axis=1).astype(np.uint8),
         off0=offs[:, 0].astype(np.int32),
         q_lens_p=q_lens_p,
-        r=r_p,
         t_len=t_lens_p,
         strand=strand_p,
         trans=trans, me8=me8, ie8=ie8,
@@ -617,11 +622,16 @@ def _tables_traced(prep, W: int, Q: int, interpret: bool):
     """Device-side prep expansion + both Pallas passes + stitching,
     traceable inside an outer jit.  Per-pair templates and t_lens.
     Returns (lk, (fM,fI,fD), fcum, rcs, (bM,bI,bD), bcum, offs)."""
+    from .banded_align import _unpack2bit
     p = prep
-    qs_p = p["qs_p"].astype(jnp.int32)
-    B = qs_p.shape[0]
     q_lens_p = p["q_lens_p"]
     t_lens = p["t_len"]                       # (B,)
+    qs_p = jnp.where(np.arange(Q) < q_lens_p[:, None],
+                     _unpack2bit(p["qs_packed"], Q), 4).astype(jnp.int32)
+    B = qs_p.shape[0]
+    Tmax = p["r_packed"].shape[1] * 4
+    r_full = jnp.where(np.arange(Tmax) < t_lens[:, None],
+                       _unpack2bit(p["r_packed"], Tmax), 4).astype(jnp.int8)
     sf = p["strand"].astype(jnp.float32)[:, None]
     tr1, tr2 = p["trans"], p["trans2"]
     tmd = (1.0 - sf) * tr1[0, 2] + sf * tr2[0, 2]   # (B,1)
@@ -638,10 +648,10 @@ def _tables_traced(prep, W: int, Q: int, interpret: bool):
     # r_pad2[b, x] == r[b, x] (suffix chars), both padded with 4s
     pad_tail = np.full((1, W + Q + 3), 4, np.int8)
     r_pad = jnp.concatenate(
-        [np.full((1, 1), 4, np.int8).repeat(B, 0), p["r"],
+        [np.full((1, 1), 4, np.int8).repeat(B, 0), r_full,
          jnp.broadcast_to(pad_tail, (B, pad_tail.shape[1]))], axis=1)
     r_pad2 = jnp.concatenate(
-        [p["r"], jnp.broadcast_to(pad_tail, (B, pad_tail.shape[1])),
+        [r_full, jnp.broadcast_to(pad_tail, (B, pad_tail.shape[1])),
          np.full((1, 1), 4, np.int8).repeat(B, 0)], axis=1)
 
     def gat(arr, idx):

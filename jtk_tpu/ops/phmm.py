@@ -287,10 +287,47 @@ likelihood_pileup = jax.jit(
 )
 
 # batched: independent (query, template) pairs (gain calibration sweeps)
-likelihood_pairs = jax.jit(
+likelihood_pairs_dense = jax.jit(
     jax.vmap(likelihood, in_axes=(0, 0, 0, 0, 0, None, None)),
     static_argnames=("W",),
 )
+
+@functools.partial(jax.jit, static_argnames=("W", "Qpad", "Tpad"))
+def _likelihood_pairs_packed(qs_packed, rs_packed, off0, shifts, q_lens,
+                             t_lens, params, W: int, Qpad: int, Tpad: int):
+    from .banded_align import _unpack2bit
+    qs = jnp.where(np.arange(Qpad) < q_lens[:, None],
+                   _unpack2bit(qs_packed, Qpad), 4)
+    rs = jnp.where(np.arange(Tpad) < t_lens[:, None],
+                   _unpack2bit(rs_packed, Tpad), 4)
+    offs = jnp.concatenate(
+        [off0[:, None],
+         off0[:, None] + jnp.cumsum(shifts.astype(jnp.int32), axis=1)],
+        axis=1)
+    return likelihood_pairs_dense(qs, rs, offs, q_lens, t_lens, params, W)
+
+
+def likelihood_pairs(qs, rs, offs, q_lens, t_lens, params, W: int):
+    """Pair LKs with compact host->device transfer when inputs allow
+    (pure-ACGT, unit-increment offsets, 4-multiple pads): 2-bit bases +
+    uint8 offset deltas, expanded on device — ~8x fewer bytes on the link."""
+    qs = np.asarray(qs)
+    rs = np.asarray(rs)
+    offs = np.asarray(offs)
+    q_lens = np.asarray(q_lens, np.int32)
+    t_lens = np.asarray(t_lens, np.int32)
+    shifts = np.diff(offs, axis=1)
+    qm = np.where(np.arange(qs.shape[1]) < q_lens[:, None], qs, 0)
+    rm = np.where(np.arange(rs.shape[1]) < t_lens[:, None], rs, 0)
+    if (qs.shape[1] % 4 == 0 and rs.shape[1] % 4 == 0
+            and shifts.min(initial=0) >= 0 and shifts.max(initial=0) <= 1
+            and qm.max(initial=0) <= 3 and rm.max(initial=0) <= 3):
+        from .banded_align import pack2bit
+        return _likelihood_pairs_packed(
+            pack2bit(qm.astype(np.int8)), pack2bit(rm.astype(np.int8)),
+            offs[:, 0].astype(np.int32), shifts.astype(np.uint8),
+            q_lens, t_lens, params, W, qs.shape[1], rs.shape[1])
+    return likelihood_pairs_dense(qs, rs, offs, q_lens, t_lens, params, W)
 
 
 def hmm_generate(rng: np.random.Generator, template: np.ndarray,

@@ -242,7 +242,7 @@ def dump_sam(ds: DataSet, contigs, path: str, names=None, W: int = 128,
                 q_lens = np.array([len(e[2]) for e in grp], np.int32)
                 t_lens = np.array([len(e[4]) for e in grp], np.int32)
                 deficit = int(np.max(t_lens - q_lens))
-                band = max(W, ((W // 2 + max(deficit, 0) + 63) // 64) * 64)
+                band = max(W, ((W // 2 + max(deficit, 0) + 127) // 128) * 128)
                 qs = np.full((len(grp), Qpad), 4, np.int8)
                 rs_arr = np.full((len(grp), Tpad), 4, np.int8)
                 offs = np.zeros((len(grp), Qpad + 1), np.int32)
@@ -337,7 +337,7 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                 if len(segs) >= min_cov:
                     band = max(ReadType.band_width(ds.read_type,
                                                    len(template)), 64)
-                    band = ((band + 63) // 64) * 64
+                    band = ((band + 127) // 128) * 128
                     template, _ = polish_until_converge(
                         template, segs, params_f, W=band, max_rounds=6,
                         strands=np.array(strands), params_rev=params_r)

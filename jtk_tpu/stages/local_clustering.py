@@ -636,7 +636,7 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
     band = W or max(max(ReadType.band_width(ds.read_type,
                                             len(chunks[cid].seq))
                         for cid in work), 64)
-    band = ((band + 63) // 64) * 64
+    band = ((band + 127) // 128) * 128
     # 1. batched polish of every chunk consensus (coverage-capped)
     t0 = time.time()
     order = sorted(work)
