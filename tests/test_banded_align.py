@@ -163,3 +163,38 @@ def test_band_offsets_shapes():
     off2 = diagonal_offsets(100, 50, 400, 120, 64)
     d2 = np.diff(off2)
     assert ((d2 == 0) | (d2 == 1)).all()
+
+
+def test_packed_dispatch_matches_dense():
+    """2-bit packed transfer path is bit-exact vs the dense dispatch; inputs
+    that violate the packing preconditions (non-ACGT codes inside the live
+    span) silently take the dense route."""
+    from jtk_tpu.ops.banded_align import (_banded_align_cigar_batch,
+                                          align_with_cigar_batch)
+    rng = np.random.default_rng(11)
+    W = 128
+    B, Q, T = 4, 256, 280
+    qs = np.full((B, Q), 4, np.int8)
+    rs = np.full((B, T), 4, np.int8)
+    q_lens = np.zeros(B, np.int32)
+    t_lens = np.zeros(B, np.int32)
+    offs = np.zeros((B, Q + 1), np.int32)
+    for b in range(B):
+        t = rng.integers(0, 4, size=int(rng.integers(200, Q))).astype(np.int8)
+        q = t.copy()
+        q[rng.integers(0, len(q), 5)] = rng.integers(0, 4, 5)
+        rs[b, :len(t)] = t
+        qs[b, :len(q)] = q
+        q_lens[b], t_lens[b] = len(q), len(t)
+        offs[b] = linear_offsets(len(q), len(t), Q, W)
+    res = align_with_cigar_batch(qs, rs, offs, q_lens, t_lens, W, "global")
+    import jax.numpy as jnp
+    meta, _, _ = _banded_align_cigar_batch(
+        jnp.asarray(qs), jnp.asarray(rs), jnp.asarray(offs),
+        jnp.asarray(q_lens), jnp.asarray(t_lens), W, "global")
+    assert (np.asarray(meta)[:, 0] == np.asarray(res["score"])).all()
+    # degenerate code 4 inside the live span -> dense fallback, still correct
+    qs2 = qs.copy()
+    qs2[0, 10] = 4
+    res2 = align_with_cigar_batch(qs2, rs, offs, q_lens, t_lens, W, "global")
+    assert res2["score"][0] >= res["score"][0]
