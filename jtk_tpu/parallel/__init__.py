@@ -147,6 +147,24 @@ def make_train_step(mesh: Mesh, W: int, lr: float = 0.05,
     ))
 
 
+def make_train_steps(mesh: Mesh, W: int, lr: float = 0.05, clip: float = 1.0,
+                     n_inner: int = 10):
+    """``n_inner`` train steps fused in one dispatch (lax.scan over the
+    single-step body): on high-latency links the per-step host sync of
+    make_train_step dominates fitting time.  Returns (theta, losses
+    (n_inner,)); the host checks convergence between dispatches."""
+    step_sharded = make_train_step(mesh, W, lr=lr, clip=clip)
+
+    def many(theta, qs, template, offsets, q_lens, t_len, wts):
+        def body(th, _):
+            th2, loss = step_sharded(th, qs, template, offsets, q_lens,
+                                     t_len, wts)
+            return th2, loss
+        return jax.lax.scan(body, theta, None, length=n_inner)
+
+    return jax.jit(many)
+
+
 def make_sharded_pileup_lk(mesh: Mesh, W: int):
     """Sharded per-read likelihood: reads split over the mesh, per-read LKs
     all-gathered back (the merge pattern used by encode/clustering)."""

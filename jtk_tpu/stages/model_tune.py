@@ -37,9 +37,8 @@ def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
     (jtk_tpu.parallel.make_train_step) — sharded over the production mesh
     when more than one device is present, bit-identical at any mesh size."""
     import jax
-    from ..parallel import (get_mesh, make_mesh, make_train_step,
-                            params_to_theta, replicate, shard_leading,
-                            theta_to_params)
+    from ..parallel import (get_mesh, make_mesh, params_to_theta, replicate,
+                            shard_leading, theta_to_params)
 
     if not reads:
         return init
@@ -75,7 +74,9 @@ def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
             [q_lens, np.full(N - n, q_lens[0], np.int32)])
 
     mesh = get_mesh() or make_mesh(1)
-    step_fn = make_train_step(mesh, W, lr=lr, clip=clip)
+    from ..parallel import make_train_steps
+    N_INNER = 10
+    steps_fn = make_train_steps(mesh, W, lr=lr, clip=clip, n_inner=N_INNER)
     if mesh.size > 1:
         qs_d, offs_d, ql_d, wts_d = shard_leading(mesh, qs, offs, q_lens, wts)
         template_d, = replicate(mesh, np.asarray(template, np.int8))
@@ -86,21 +87,24 @@ def _fit_strand(reads: list[np.ndarray], template: np.ndarray,
     theta = params_to_theta(init)
     prev = None
     best = theta
-    for it in range(steps):
-        theta, loss = step_fn(theta, qs_d, template_d, offs_d, ql_d,
-                              np.int32(t_len), wts_d)
-        loss = float(loss)
-        if not np.isfinite(loss) or any(
+    # N_INNER steps per dispatch: the per-step host sync is what costs on a
+    # high-latency link; convergence/divergence is checked between chunks
+    for it in range(0, steps, N_INNER):
+        theta, losses = steps_fn(theta, qs_d, template_d, offs_d, ql_d,
+                                 np.int32(t_len), wts_d)
+        losses = np.asarray(losses, np.float64)
+        if not np.all(np.isfinite(losses)) or any(
                 not np.all(np.isfinite(np.asarray(x)))
                 for x in jax.tree.leaves(theta)):
-            logger.warning("model fit diverged at step %d; keeping previous",
-                           it)
+            logger.warning("model fit diverged in steps %d..%d; keeping "
+                           "previous", it, it + N_INNER)
             theta = best
             break
         best = theta
-        if prev is not None and abs(loss - prev) < 1e-4:
+        seq = ([prev] if prev is not None else []) + losses.tolist()
+        if any(abs(b - a) < 1e-4 for a, b in zip(seq, seq[1:])):
             break
-        prev = loss
+        prev = losses[-1]
     out = theta_to_params(theta)
     if any(not np.all(np.isfinite(np.asarray(x))) for x in out):
         return init
