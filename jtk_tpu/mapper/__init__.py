@@ -285,6 +285,9 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
 
     from ..ops.banded_align import pack2bit
     dispatched = []
+    pre_redo = []  # candidates whose window holds a code >3 (N): pack2bit
+    # is 2-bit only — a 4 would bleed into the neighbour base — so these
+    # rare rows take the legacy (dense, N-safe) path instead
     for s in range(0, len(cands), batch):
         grp = cands[s:s + batch]
         B = batch  # fixed batch size: one compilation per shape bucket
@@ -298,6 +301,9 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
             a = max(c.window_start, 0)
             bnd = min(c.window_start + c.window_len, len(rseq))
             win = rseq[a:bnd]
+            if len(win) and int(win.max()) > 3:
+                pre_redo.append(c)
+                win = np.zeros(0, np.int8)  # row stays padded; result unused
             rs[b, :len(win)] = win
             cc[b] = cidx_of[c.chunk_id]
             ws[b] = c.window_start
@@ -324,6 +330,13 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
                 # only >DEL_TOPK deletion runs land here (rare)
                 overflow.append(rec)
             results.append(rec)
+    if pre_redo:
+        redo_set = {id(c) for c in pre_redo}
+        seen = {id(rec) for rec in overflow}
+        for rec in results:
+            if id(rec["cand"]) in redo_set and id(rec) not in seen:
+                rec["dist"] = 1 << 30
+                overflow.append(rec)
     if overflow:
         # rare rows (tiny windows / >DEL_TOPK deletion runs): redo on the
         # legacy per-candidate path

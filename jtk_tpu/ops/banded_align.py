@@ -352,9 +352,13 @@ def _extend_hostwin(chunks_blob, chunk_lens, cand_chunk, rs_packed, wstart,
     k = min(DEL_TOPK, Q)
     dv, di = jax.lax.top_k(dels.astype(jnp.int32), k)
     n_runs = jnp.sum((dels > 0).astype(jnp.int32), axis=1)
+    # same degenerate-window gate as _extend_indexed: a window shorter than
+    # half the chunk cannot carry a near-full-chunk hit — send it to the
+    # legacy redo instead of trusting its garbage span/cigar
+    valid = t_lens >= chunk_lens[cand_chunk] // 2
     meta = jnp.stack([score.astype(jnp.int32), end_j.astype(jnp.int32),
                       start_j.astype(jnp.int32), n_runs,
-                      jnp.ones_like(n_runs), astart.astype(jnp.int32)],
+                      valid.astype(jnp.int32), astart.astype(jnp.int32)],
                      axis=1)
     delpack = jnp.concatenate([dv.astype(jnp.uint16),
                                di.astype(jnp.uint16)], axis=1)

@@ -303,6 +303,16 @@ _table_assembly_batch = jax.jit(
     static_argnames=("W", "Tpad"),
 )
 
+# per-pair parameter sets (strand-selected): params leaves carry a leading
+# batch dim so reverse-strand rows are assembled with the reverse-strand
+# transitions/emissions matching their fwd/bwd tables
+_table_assembly_batch_perpair = jax.jit(
+    jax.vmap(modification_table_from_tables,
+             in_axes=(0, 0, 0, 0, 0, None, None,
+                      0, (0, 0, 0), 0, 0, (0, 0, 0), 0)),
+    static_argnames=("W", "Tpad"),
+)
+
 # scan engine with per-pair templates (cross-chunk batching)
 modification_table_pairs = jax.jit(
     jax.vmap(modification_table,
@@ -329,16 +339,26 @@ def use_pallas() -> bool:
 def _pallas_modtable_fused(prep, params, W: int, Q: int, Tpad: int,
                            interpret: bool):
     """One dispatch: both Pallas table passes + stitching + the closed-form
-    edit-table assembly over the whole (padded) batch."""
+    edit-table assembly over the whole (padded) batch.
+
+    The assembly uses per-pair strand-selected parameters (prep['strand']==1
+    selects the second/reverse set), matching the strand-selected fwd/bwd
+    tables `_tables_traced` produced — reverse-strand reads must NOT be
+    scored with forward-strand transitions/emissions."""
     from .banded_align import _unpack2bit
     from .pallas_phmm import _tables_traced
     lk, f_tabs, fcum, rcs, b_tabs, bcum, offs = _tables_traced(
         prep, W, Q, interpret)
     qs_p = jnp.where(np.arange(Q) < prep["q_lens_p"][:, None],
                      _unpack2bit(prep["qs_packed"], Q), 4).astype(jnp.int8)
-    lk2, tab = _table_assembly_batch(
+    sf = prep["strand"].astype(jnp.float32)[:, None, None]   # (B,1,1)
+    params_b = PHMMParams(
+        (1.0 - sf) * prep["trans"][:3, :3] + sf * prep["trans2"][:3, :3],
+        (1.0 - sf) * prep["me8"][:4, :4] + sf * prep["me28"][:4, :4],
+        (1.0 - sf) * prep["ie8"][:5, :4] + sf * prep["ie28"][:5, :4])
+    lk2, tab = _table_assembly_batch_perpair(
         qs_p, offs, prep["q_lens_p"],
-        prep["t_len"], params, W, Tpad,
+        prep["t_len"], params_b, W, Tpad,
         lk, f_tabs, fcum, rcs, b_tabs, bcum)
     return lk2, tab
 

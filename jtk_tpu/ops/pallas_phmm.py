@@ -577,6 +577,12 @@ def _prep_tables_inputs(qs, template, offsets, q_lens, t_len,
     r_p = np.zeros((B, Tmax), np.int8)
     r_p[:B0, :templates.shape[1]] = np.where(
         np.arange(templates.shape[1]) < t_lens[:, None], templates, 0)
+    # pack2bit is 2-bit only: an in-length code 4 (N) would bleed its high
+    # bit into the neighbouring base's slot.  Entry rejects non-ACGT reads so
+    # this is defensive — score a stray N as 'A' rather than corrupt two
+    # positions (the scan path would give N emission prob 0 = -inf anyway).
+    np.clip(qs_p, 0, 3, out=qs_p)
+    np.clip(r_p, 0, 3, out=r_p)
     t_lens_p = np.ones(B, np.int32)
     t_lens_p[:B0] = t_lens
     offs = np.zeros((B, Q + 1), np.int64)

@@ -136,7 +136,10 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
     across all pileups — on high-latency links this turns per-template
     polishing (reference: rayon over chunks / windows) into a handful of
     dispatches.  Templates converge independently and drop out of later
-    rounds.  Returns (polished_templates, per_template_lks)."""
+    rounds.  Returns (polished_templates, per_read_lks): lks[i][rj] is read
+    rj's log-likelihood against pileup i's template from the last round that
+    evaluated it (== the returned template when the pileup converged, which
+    is every pileup unless max_rounds is exhausted mid-progress)."""
     from .modtable import (modification_table_pairs,
                            modification_table_pileup_pallas, use_pallas)
     n = len(templates)
@@ -155,9 +158,11 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
             Tpad += 128
         # flat batch of (read, template-of-its-pileup) pairs
         pair_tpl_idx, pair_reads, pair_strand = [], [], []
+        pair_read_idx = []
         for i in idxs:
             for rj, r in enumerate(pileups[i]):
                 pair_tpl_idx.append(i)
+                pair_read_idx.append(rj)
                 pair_reads.append(r)
                 pair_strand.append(True if strands[i] is None
                                    else bool(strands[i][rj]))
@@ -203,6 +208,7 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
             for b_pos, b in enumerate(sel):
                 i = pair_tpl_idx[b]
                 totals[i] += gain[b_pos]
+                lks[i][pair_read_idx[b]] = lk[b_pos]
         progressed = False
         for i in idxs:
             edits = choose_edits(totals[i], len(tpls[i]), min_gain, spacing)

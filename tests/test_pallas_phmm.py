@@ -100,3 +100,39 @@ def test_pallas_modtable_matches_scan():
     tp, ts = np.asarray(tab_p), np.asarray(tab_s)
     mask = ts > -1e29
     np.testing.assert_allclose(tp[mask], ts[mask], rtol=1e-4, atol=5e-2)
+
+
+def test_pallas_modtable_strand_params():
+    """Reverse-strand rows must be assembled with the reverse parameter set
+    (regression: the fused path once used forward params for the whole
+    batch)."""
+    from jtk_tpu.ops.modtable import (modification_table_pileup,
+                                      modification_table_pileup_pallas)
+    rng = np.random.default_rng(7)
+    params = PHMMParams.from_hmmparam(HMMParam())
+    # a distinctly different reverse-strand parameter set
+    t2 = np.asarray(params.trans).copy()
+    t2[0] = [0.80, 0.15, 0.05]
+    t2[1] = [0.55, 0.35, 0.10]
+    me2 = np.asarray(params.mat_emit) * 0.7 + 0.3 * 0.25
+    ie2 = np.asarray(params.ins_emit) * 0.5 + 0.5 * 0.25
+    params_rev = PHMMParams(t2, me2.astype(np.float32),
+                            ie2.astype(np.float32))
+    template, qs, offs, q_lens, W = _prep_batch(rng, n_reads=6)
+    tlen = len(template)
+    tpl = np.asarray(template, np.int8)
+    strands = np.array([True, False, True, False, False, True])
+    lk_p, tab_p = modification_table_pileup_pallas(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, tlen,
+        interpret=True, strands=strands, params_rev=params_rev)
+    # scan reference: each strand group with its own params
+    for par, rows in ((params, np.nonzero(strands)[0]),
+                      (params_rev, np.nonzero(~strands)[0])):
+        lk_s, tab_s = modification_table_pileup(
+            qs[rows], tpl, offs[rows], q_lens[rows], np.int32(tlen),
+            par, W, tlen)
+        np.testing.assert_allclose(np.asarray(lk_p)[rows],
+                                   np.asarray(lk_s), rtol=1e-4, atol=2e-2)
+        tp, ts = np.asarray(tab_p)[rows], np.asarray(tab_s)
+        mask = ts > -1e29
+        np.testing.assert_allclose(tp[mask], ts[mask], rtol=1e-4, atol=5e-2)
