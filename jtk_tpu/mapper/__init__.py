@@ -175,11 +175,43 @@ class ChunkIndex:
                                          margin, stride)
         return fwd + rev
 
+    def _candidates_native(self, blob, starts, lens, lane_meta, min_hits,
+                           margin, stride):
+        """Candidate voting via native/kmer_vote.cc (None = unavailable)."""
+        from ..native_ext import kmer_vote_native
+        if getattr(self, "_kmers_u64", None) is None:
+            self._kmers_u64 = np.ascontiguousarray(self.kmers, np.uint64)
+            self._cids_i32 = np.ascontiguousarray(self.cids, np.int32)
+            self._poss_i32 = np.ascontiguousarray(self.poss, np.int32)
+        phases = (stride - starts % stride) % stride if stride > 1 \
+            else np.zeros(len(starts), np.int64)
+        got = kmer_vote_native(blob, starts, lens, phases,
+                               self._kmers_u64, self._cids_i32,
+                               self._poss_i32, self.k, stride, self.max_occ,
+                               min_hits, 128)
+        if got is None:
+            return None
+        lane, cid, dmed, c2 = got
+        out = []
+        for i in range(len(lane)):
+            cidv = int(cid[i])
+            ri, fwdb = lane_meta[int(lane[i])]
+            out.append(Candidate(ri, cidv, fwdb, int(dmed[i]) - margin,
+                                 self.chunk_len[cidv] + 2 * margin,
+                                 int(c2[i])))
+        return out
+
     def candidates_batch(self, read_codes: list, min_hits: int = 4,
                          margin: int = 200, stride: int = 3):
         """All reads' candidates in one vectorized sweep: k-mers of every
         read (both strands) packed and looked up together, diagonal-bin
-        votes keyed by (read, strand, chunk, bin) in one np.unique pass."""
+        votes keyed by (read, strand, chunk, bin) in one np.unique pass.
+
+        A native threaded scanner (native/kmer_vote.cc) does the rolling
+        k-mer + voting pass when available — identical semantics, one pass
+        per read lane instead of several numpy vector passes over the blob
+        (the reference leans on minimap2's internal seeding threads here,
+        encode/mod.rs:342-351); this numpy body is the fallback."""
         if not read_codes:
             return []
         k = self.k
@@ -195,6 +227,10 @@ class ChunkIndex:
         sep = np.full(k - 1, 7, np.int8)
         blob = np.concatenate([x for c in lane_codes for x in (c, sep)])
         starts = np.concatenate([[0], np.cumsum(lens + k - 1)])[:-1]
+        native = self._candidates_native(blob, starts, lens, lane_meta,
+                                         min_hits, margin, stride)
+        if native is not None:
+            return native
         vals, ok = pack_kmers(blob, k)
         if stride > 1:
             sl = np.zeros_like(ok)
@@ -267,7 +303,7 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     from ..parallel import get_mesh
     mesh = get_mesh()
     if mesh is not None:
-        from ..parallel import replicate
+        from ..parallel import replicate, shard_leading
         dev_blob, dev_lens = replicate(mesh, chunks_blob, chunk_lens)
     else:
         dev_blob = jax.device_put(chunks_blob)
@@ -309,8 +345,18 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
             ws[b] = c.window_start
             astart[b] = a
             t_lens[b] = max(len(win), 1)
-        handle = _extend_hostwin(dev_blob, dev_lens, cc, pack2bit(rs), ws,
-                                 astart, t_lens, W, Qpad, Tpad, margin)
+        # candidate batches shard over the ``data`` mesh axis (the batch size
+        # is fixed at 2048 = a multiple of any mesh size we run): each device
+        # verifies its own slice of the candidates (SURVEY §2.5 — the
+        # reference rayon-parallelizes this per read, encode/mod.rs:342-351)
+        if mesh is not None:
+            cc_d, rsp_d, ws_d, as_d, tl_d = shard_leading(
+                mesh, cc, pack2bit(rs), ws, astart, t_lens)
+        else:
+            cc_d, rsp_d, ws_d, as_d, tl_d = (cc, pack2bit(rs), ws, astart,
+                                             t_lens)
+        handle = _extend_hostwin(dev_blob, dev_lens, cc_d, rsp_d, ws_d,
+                                 as_d, tl_d, W, Qpad, Tpad, margin)
         dispatched.append((grp, handle))
     results = []
     overflow = []

@@ -1,0 +1,105 @@
+"""ctypes bindings for the native host-runtime pieces (``native/*.cc``).
+
+The TPU build keeps FLOP-heavy work on the device; the host runtime around
+it (IO, seeding/voting scans, scheduling) is native C++ where the reference
+used Rust/C (SURVEY.md §2.4).  Libraries build lazily on first use with the
+image's g++ and fall back to the pure-numpy implementations when a
+toolchain is absent — every native entry point has a Python twin with
+identical semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           os.pardir, "native")
+_cache: dict[str, object] = {}
+
+
+def _build(name: str) -> str | None:
+    src = os.path.join(_NATIVE_DIR, f"{name}.cc")
+    lib = os.path.join(_NATIVE_DIR, f"lib{name}.so")
+    if not os.path.exists(src):
+        return None
+    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+        return lib
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", lib, src],
+            check=True, capture_output=True, timeout=300)
+        return lib
+    except Exception as e:  # noqa: BLE001
+        print(f"native build of {name} failed: {e}", file=sys.stderr)
+        return None
+
+
+def load(name: str):
+    """Load (building if needed) lib<name>.so; returns None on failure."""
+    if name in _cache:
+        return _cache[name]
+    lib_path = _build(name)
+    handle = None
+    if lib_path is not None:
+        try:
+            handle = ctypes.CDLL(lib_path)
+        except OSError as e:
+            print(f"native load of {name} failed: {e}", file=sys.stderr)
+    _cache[name] = handle
+    return handle
+
+
+_I8P = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+_I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_U64P = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+
+
+def kmer_vote_native(blob, lane_starts, lane_lens, lane_phases,
+                     idx_kmers, idx_cids, idx_poss,
+                     k: int, stride: int, max_occ: int, min_hits: int,
+                     bin_: int, n_threads: int | None = None):
+    """Native candidate voting; returns (lane, cid, dmed, c2) int32 arrays
+    or None when the native library is unavailable."""
+    lib = load("kmer_vote")
+    if lib is None:
+        return None
+    fn = lib.kmer_vote
+    if not getattr(fn, "_configured", False):
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            _I8P, _I64P, _I64P, _I64P, ctypes.c_int32,
+            _U64P, _I32P, _I32P, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            _I32P, _I32P, _I32P, _I32P, ctypes.c_int64,
+        ]
+        fn._configured = True
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    blob = np.ascontiguousarray(blob, np.int8)
+    lane_starts = np.ascontiguousarray(lane_starts, np.int64)
+    lane_lens = np.ascontiguousarray(lane_lens, np.int64)
+    lane_phases = np.ascontiguousarray(lane_phases, np.int64)
+    idx_kmers = np.ascontiguousarray(idx_kmers, np.uint64)
+    idx_cids = np.ascontiguousarray(idx_cids, np.int32)
+    idx_poss = np.ascontiguousarray(idx_poss, np.int32)
+    cap = max(1024, 16 * len(lane_starts))
+    for _ in range(3):
+        out = [np.empty(cap, np.int32) for _ in range(4)]
+        n = fn(blob, lane_starts, lane_lens, lane_phases,
+               np.int32(len(lane_starts)),
+               idx_kmers, idx_cids, idx_poss, np.int64(len(idx_kmers)),
+               np.int32(k), np.int32(stride), np.int32(max_occ),
+               np.int32(min_hits), np.int32(bin_), np.int32(n_threads),
+               out[0], out[1], out[2], out[3], np.int64(cap))
+        if n >= 0:
+            return tuple(o[:n] for o in out)
+        cap = -n
+    return None

@@ -20,5 +20,13 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 
 def pytest_configure(config):
     import jax
+    # The axon sitecustomize imports jax at interpreter startup (before this
+    # conftest runs), so the env var above is captured too late when the
+    # tunnel plugin is registered — mutate the live config instead.  Without
+    # this, a wedged TPU tunnel hangs the whole suite at first dispatch.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # noqa: BLE001 - older jax: env var was enough
+        pass
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

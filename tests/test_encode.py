@@ -74,3 +74,39 @@ def test_encode_end_to_end_sim():
             mat, mism, ins, dele = node.aln_stats(chunk.seq)
             errs.append((mism + ins + dele) / (mat + mism + ins + dele))
     assert 0.02 < np.mean(errs) < 0.15, np.mean(errs)
+
+
+def test_native_candidate_parity():
+    """native/kmer_vote.cc must match the numpy voting path candidate-for-
+    candidate (same order, same windows, same hit counts), incl. reads
+    containing N."""
+    import jtk_tpu.native_ext as ne
+    from jtk_tpu import seq as seqmod
+    from jtk_tpu.io import sim
+    from jtk_tpu.mapper import ChunkIndex
+    rng = np.random.default_rng(11)
+    genome = sim.random_genome(rng, 30_000)
+    chunk_seqs = {i: genome[s:s + 2000]
+                  for i, s in enumerate(range(0, 28_000, 2500))}
+    reads = [sim.noisy_read(rng, genome[s:s + 8000], 0.08)
+             for s in rng.integers(0, 22_000, size=12)]
+    # sprinkle Ns into a couple of reads
+    for r in reads[:3]:
+        r[rng.integers(0, len(r), size=5)] = 4
+    reads += [rng.integers(0, 4, size=40).astype(np.int8)]  # too short-ish
+    idx = ChunkIndex(chunk_seqs, k=15)
+    got = idx.candidates_batch(reads)
+    if ne.load("kmer_vote") is None:
+        return  # no toolchain: numpy path is the only path
+    saved = ne._cache.get("kmer_vote")
+    try:
+        ne._cache["kmer_vote"] = None
+        want = idx.candidates_batch(reads)
+    finally:
+        ne._cache["kmer_vote"] = saved
+    assert len(got) == len(want) > 0
+    for a, b in zip(got, want):
+        assert (a.read_idx, a.chunk_id, a.is_forward, a.window_start,
+                a.window_len, a.n_hits) == \
+               (b.read_idx, b.chunk_id, b.is_forward, b.window_start,
+                b.window_len, b.n_hits)
