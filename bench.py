@@ -1,13 +1,20 @@
-"""Benchmark: reads-encoded/s on a synthetic diploid dataset (real TPU).
+"""Benchmark: reads-encoded/s + chunks-phased/s on a synthetic diploid dataset.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line:
+  {"metric": "reads_encoded_per_s", "value": N, "unit": ..., "vs_baseline": N,
+   "chunks_phased_per_s": N, "cpu_baseline_reads_per_s": N, "backend": ...}
 
 ``vs_baseline`` is computed against a MEASURED single-thread CPU rate: the
 native harness ``native/encode_bench.cc`` performs the same encode work
 (k-mer index + diagonal voting + banded edit alignment with traceback) on
 the identical dataset, standing in for the reference's minimap2+edlib encode
-stage (its Rust toolchain is absent from this image).  Secondary metrics
-(CPU baseline, chunks-phased/s) go to BENCH_EXTRA.json and stderr.
+stage (its Rust toolchain is absent from this image).
+
+Resilience (round-3 hardening): the TPU tunnel wedges transiently, so the
+backend is probed in a SUBPROCESS with bounded retry-and-backoff before jax
+is imported here; if the probe never succeeds the bench runs on CPU jax and
+says so in the emitted line.  Every metric that has been measured by the
+time an exception fires is still emitted — the JSON line is guaranteed.
 """
 
 import json
@@ -21,6 +28,42 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 FALLBACK_CPU_RATE = 45.0  # measured 2026-08-17 on this image (4-vcpu host)
+PROBE_BACKOFFS = (0, 20, 45, 90)  # seconds before each probe attempt
+
+
+def _probe_backend_once(timeout: float = 120.0) -> bool:
+    """Check (in a throwaway subprocess) that jax can init its backend.
+
+    A wedged tunnel either raises UNAVAILABLE or hangs — both must not take
+    down the bench process, hence the subprocess + timeout."""
+    code = "import jax; assert jax.devices(); print(jax.default_backend())"
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=timeout)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def probe_backend() -> str:
+    """Returns 'device' if the default backend initializes, else 'cpu'
+    (after bounded retries), configuring this process's env accordingly."""
+    if os.environ.get("JTK_BENCH_FORCE_CPU"):
+        attempts = ()
+    else:
+        attempts = PROBE_BACKOFFS
+    for i, backoff in enumerate(attempts):
+        if backoff:
+            print(f"backend probe retry {i} in {backoff}s", file=sys.stderr)
+            time.sleep(backoff)
+        if _probe_backend_once():
+            return "device"
+        print(f"backend probe attempt {i + 1} failed", file=sys.stderr)
+    # Fall back to true CPU jax: the axon plugin only registers when
+    # PALLAS_AXON_POOL_IPS is set, and JAX_PLATFORMS picks the host backend.
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return "cpu"
 
 
 def measure_cpu_baseline(ds, chunk_fastas) -> float:
@@ -54,7 +97,43 @@ def measure_cpu_baseline(ds, chunk_fastas) -> float:
         return FALLBACK_CPU_RATE
 
 
+def emit(result: dict):
+    """The one parsed line (stdout) + the extras file."""
+    extra = {
+        "cpu_baseline_reads_per_s": result.get("cpu_baseline_reads_per_s"),
+        "chunks_phased_per_s": result.get("chunks_phased_per_s"),
+        "nodes": result.get("nodes"),
+        "backend": result.get("backend"),
+        "error": result.get("error"),
+    }
+    with open(os.path.join(REPO, "BENCH_EXTRA.json"), "w") as f:
+        json.dump(extra, f)
+    print(f"extra: {extra}", file=sys.stderr)
+    print(json.dumps(result), flush=True)
+
+
 def main():
+    backend = probe_backend()
+    result = {
+        "metric": "reads_encoded_per_s",
+        "value": None,
+        "unit": "reads/s (18kbp ONT-sim, 200kb diploid region; "
+                "baseline = measured single-thread CPU)",
+        "vs_baseline": None,
+        "chunks_phased_per_s": None,
+        "cpu_baseline_reads_per_s": None,
+        "backend": backend,
+    }
+    try:
+        run_bench(result, backend)
+    except Exception as e:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        result["error"] = f"{type(e).__name__}: {e}"
+    emit(result)
+
+
+def run_bench(result: dict, backend: str):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
@@ -79,6 +158,7 @@ def main():
     ]
     cpu_rate = measure_cpu_baseline(
         ds, [(f"c{c.id}", c.seq) for c in ds.selected_chunks])
+    result["cpu_baseline_reads_per_s"] = round(cpu_rate, 2)
 
     # warmup (compile) on a small slice
     import copy
@@ -88,58 +168,48 @@ def main():
     encode(warm)
     print(f"warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
+    profile_dir = None
+    if os.environ.get("JTK_BENCH_PROFILE"):
+        profile_dir = os.path.join(REPO, "profile_trace")
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     encode(ds)
     dt = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
     n_reads = len(ds.raw_reads)
     n_nodes = sum(len(r.nodes) for r in ds.encoded_reads)
     reads_per_s = n_reads / dt
     print(f"encoded {n_reads} reads ({n_nodes} nodes) in {dt:.1f}s",
           file=sys.stderr)
+    result["value"] = round(reads_per_s, 2)
+    result["vs_baseline"] = round(reads_per_s / cpu_rate, 2)
+    result["nodes"] = n_nodes
 
     # chunks-phased/s: local clustering over the encoded pileups
-    chunks_per_s = None
-    try:
-        for c in ds.selected_chunks:
-            c.copy_num = 2
-            c.cluster_num = 2
-        from jtk_tpu.stages.local_clustering import local_clustering
-        warm2 = copy.deepcopy(ds)
-        warm2.selected_chunks = warm2.selected_chunks[:2]
-        keep = {c.id for c in warm2.selected_chunks}
-        for er in warm2.encoded_reads:
-            er.nodes = [n for n in er.nodes if n.chunk in keep][:1]
-        warm2.encoded_reads = [er for er in warm2.encoded_reads if er.nodes]
-        t0 = time.time()
-        local_clustering(warm2, flips_per_read=600, restarts=8)
-        print(f"cluster warmup: {time.time() - t0:.1f}s", file=sys.stderr)
-        # a bounded subset keeps the driver bench within budget
-        subset = {c.id for c in ds.selected_chunks[:16]}
-        t0 = time.time()
-        local_clustering(ds, flips_per_read=600, restarts=8,
-                         selection=subset)
-        dt_c = time.time() - t0
-        chunks_per_s = len(subset) / dt_c
-        print(f"phased {len(subset)} chunks in {dt_c:.1f}s", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"cluster bench failed: {e}", file=sys.stderr)
-
-    extra = {
-        "cpu_baseline_reads_per_s": round(cpu_rate, 2),
-        "chunks_phased_per_s": round(chunks_per_s, 3)
-        if chunks_per_s else None,
-        "nodes": n_nodes,
-    }
-    with open(os.path.join(REPO, "BENCH_EXTRA.json"), "w") as f:
-        json.dump(extra, f)
-    print(f"extra: {extra}", file=sys.stderr)
-    print(json.dumps({
-        "metric": "reads_encoded_per_s",
-        "value": round(reads_per_s, 2),
-        "unit": "reads/s (18kbp ONT-sim, 200kb diploid region; "
-                "baseline = measured single-thread CPU)",
-        "vs_baseline": round(reads_per_s / cpu_rate, 2),
-    }))
+    for c in ds.selected_chunks:
+        c.copy_num = 2
+        c.cluster_num = 2
+    from jtk_tpu.stages.local_clustering import local_clustering
+    warm2 = copy.deepcopy(ds)
+    warm2.selected_chunks = warm2.selected_chunks[:2]
+    keep = {c.id for c in warm2.selected_chunks}
+    for er in warm2.encoded_reads:
+        er.nodes = [n for n in er.nodes if n.chunk in keep][:1]
+    warm2.encoded_reads = [er for er in warm2.encoded_reads if er.nodes]
+    t0 = time.time()
+    local_clustering(warm2, flips_per_read=600, restarts=8)
+    print(f"cluster warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    # a bounded subset keeps the driver bench within budget
+    subset = {c.id for c in ds.selected_chunks[:16]}
+    t0 = time.time()
+    local_clustering(ds, flips_per_read=600, restarts=8,
+                     selection=subset)
+    dt_c = time.time() - t0
+    chunks_per_s = len(subset) / dt_c
+    print(f"phased {len(subset)} chunks in {dt_c:.1f}s", file=sys.stderr)
+    result["chunks_phased_per_s"] = round(chunks_per_s, 3)
 
 
 if __name__ == "__main__":

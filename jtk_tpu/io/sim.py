@@ -47,6 +47,106 @@ def noisy_read(rng: np.random.Generator, template: np.ndarray, error: float):
     return mutate(rng, template, sub=error / 3, ins=error / 3, dele=error / 3)
 
 
+# ---------------------------------------------------------------------------
+# SV / repeat genome generators (reference dev-harness parity:
+# sandbox/src/bin/gen_sim_genome.rs, gen_sim_genome_segdup.rs)
+# ---------------------------------------------------------------------------
+
+
+def segdup_diploid(rng: np.random.Generator, segdup_len: int = 1_000_000,
+                   padding: int = 100_000, divergence: float = 0.05,
+                   het: float = 0.001):
+    """Two haplotypes each carrying a two-copy segmental duplication.
+
+    hapA = leading + segdup + pad + segdup' + trail where segdup' diverges
+    from segdup by ``divergence``; hapB = hapA with ``het`` variants
+    (gen_sim_genome_segdup.rs:30-43, scaled by the size arguments).
+    """
+    segdup = random_genome(rng, segdup_len)
+    d = divergence / 3
+    segdup2 = mutate(rng, segdup, sub=d, ins=d, dele=d)
+    leading = random_genome(rng, padding)
+    pad = random_genome(rng, padding)
+    trail = random_genome(rng, padding)
+    hap_a = np.concatenate([leading, segdup, pad, segdup2, trail])
+    h = het / 3
+    hap_b = mutate(rng, hap_a, sub=h, ins=h, dele=h)
+    return hap_a, hap_b
+
+
+def shared_repeat_diploid(rng: np.random.Generator, flank: int = 1500,
+                          repeat_len: int = 1000, mid: int = 1500,
+                          repeat_div: float = 0.0, het: float = 0.0,
+                          n_snv: int = 12):
+    """Diploid with a NEAR-EXACT two-copy repeat shared by both haplotypes:
+    hap = A + R + B + R' + C, haplotypes differing only by flank SNVs.
+
+    The repeat copies collapse to the same chunks (copy_num 2); only reads
+    spanning a whole copy can phase the flanks — the workload that exercises
+    focus-based repeat resolution (repeat_resolve_by_focus.rs:90-246)."""
+    a = random_genome(rng, flank)
+    b = random_genome(rng, mid)
+    c = random_genome(rng, flank)
+    rep = random_genome(rng, repeat_len)
+    d = repeat_div / 3
+    rep2 = mutate(rng, rep, sub=d, ins=d, dele=d) if repeat_div else rep.copy()
+    hap1 = np.concatenate([a, rep, b, rep2, c])
+    hap2 = hap1.copy()
+    # haplotype SNVs in the UNIQUE regions only (flanks + middle)
+    unique_pos = np.concatenate([
+        np.arange(50, flank - 50),
+        np.arange(flank + repeat_len + 50, flank + repeat_len + mid - 50),
+        np.arange(len(hap1) - flank + 50, len(hap1) - 50),
+    ])
+    snv = rng.choice(unique_pos, size=min(n_snv, len(unique_pos)),
+                     replace=False)
+    for p in snv:
+        hap2[p] = (hap2[p] + 1 + rng.integers(0, 3)) % 4
+    if het:
+        h = het / 3
+        hap2 = mutate(rng, hap2, sub=h, ins=h, dele=h)
+    return hap1, hap2, np.sort(snv)
+
+
+def sv_diploid(rng: np.random.Generator, length: int = 1_000_000,
+               scale: float = 1.0, het: float = 0.0005):
+    """Reference + two SV-laden haplotypes (gen_sim_genome.rs:4-17 layout,
+    coordinates scaled by ``length/1Mbp * scale``).
+
+    hapA: del ref[.05..".08], del [.10..".12], inversion [.32..".37],
+          del [.53..".58], 5%-of-length insertion at .70.
+    hapB: same except NO [.53..".58] deletion, plus an insertion at .90.
+    Both then receive ``het`` random variants.  Returns (ref, hapA, hapB).
+    """
+    ref = random_genome(rng, length)
+    L = length
+
+    def frac(x):
+        return int(x * L * scale)
+
+    ins1 = random_genome(rng, frac(0.05))
+    ins2 = random_genome(rng, frac(0.05))
+    inv = seqmod.revcomp(ref[frac(0.32):frac(0.37)])
+    seg1 = np.concatenate([ref[:frac(0.05)], ref[frac(0.08):frac(0.10)],
+                           ref[frac(0.12):frac(0.20)]])
+    seg2 = np.concatenate([ref[frac(0.20):frac(0.32)], inv,
+                           ref[frac(0.37):frac(0.40)]])
+    seg3_a = np.concatenate([ref[frac(0.40):frac(0.53)],
+                             ref[frac(0.58):frac(0.60)]])
+    seg3_b = ref[frac(0.40):frac(0.60)]
+    seg4 = np.concatenate([ref[frac(0.60):frac(0.70)], ins1,
+                           ref[frac(0.70):frac(0.80)]])
+    seg5_a = ref[frac(0.80):]
+    seg5_b = np.concatenate([ref[frac(0.80):frac(0.90)], ins2,
+                             ref[frac(0.90):]])
+    hap_a = np.concatenate([seg1, seg2, seg3_a, seg4, seg5_a])
+    hap_b = np.concatenate([seg1, seg2, seg3_b, seg4, seg5_b])
+    h = het / 3
+    hap_a = mutate(rng, hap_a, sub=h, ins=h, dele=h)
+    hap_b = mutate(rng, hap_b, sub=h, ins=h, dele=h)
+    return ref, hap_a, hap_b
+
+
 def simulate_reads(rng: np.random.Generator, haplotypes, coverage: float,
                    mean_len: int, error: float, min_len: int = 500):
     """Sample reads uniformly over the haplotypes; ~half reverse strand.

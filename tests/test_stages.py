@@ -68,6 +68,22 @@ def test_purge_largeindel_removes_bad_nodes():
         er.recover_raw_read()  # still lossless
 
 
+def test_classify_nodes_mcmc_drops_mismatching_hub():
+    """A hub chunk disagreeing with a clique of mutually-agreeing chunks must
+    be classed non-stiff (squish_erroneous_clusters.rs classify_nodes)."""
+    from jtk_tpu.stages.squish import _classify_nodes
+    n = 6
+    edges = []
+    for i in range(1, n):
+        for j in range(i + 1, n):
+            edges.append((i, j, 0.9, 12))  # clique: high ARI
+        edges.append((0, i, 0.05, 12))  # hub 0 disagrees with everyone
+    stiff = _classify_nodes(n, edges, ari_thr=0.5, match_score=4.0,
+                            mismatch_score=-1.0)
+    assert not stiff[0]
+    assert stiff[1:].all()
+
+
 def test_squish_marks_inconsistent_chunk():
     from jtk_tpu.stages.squish import squish_erroneous_clusters
     rng = np.random.default_rng(2)
