@@ -160,10 +160,11 @@ def run_bench(result: dict, backend: str):
         ds, [(f"c{c.id}", c.seq) for c in ds.selected_chunks])
     result["cpu_baseline_reads_per_s"] = round(cpu_rate, 2)
 
-    # warmup (compile) on a small slice
+    # warmup (compile): run the FULL encode once so every production shape
+    # bucket (the adaptive candidate batch sizes included) is compiled and
+    # cached before the timed pass
     import copy
     warm = copy.deepcopy(ds)
-    warm.raw_reads = warm.raw_reads[:8]
     t0 = time.time()
     encode(warm)
     print(f"warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)

@@ -324,9 +324,24 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     pre_redo = []  # candidates whose window holds a code >3 (N): pack2bit
     # is 2-bit only — a 4 would bleed into the neighbour base — so these
     # rare rows take the legacy (dense, N-safe) path instead
-    for s in range(0, len(cands), batch):
-        grp = cands[s:s + batch]
-        B = batch  # fixed batch size: one compilation per shape bucket
+    #
+    # batch sizes come from a small bucket set (one compilation each, reused
+    # from the persistent cache): every extra dispatch pays the tunnel's RPC
+    # floor, but padding rows cost compute + transfer, so the candidate set
+    # is decomposed greedily — largest bucket that fits, then the smallest
+    # bucket covering the tail (e.g. 4311 -> 4096 + 512)
+    buckets = sorted({max(batch // 4, 128), batch, 2 * batch, 4 * batch})
+    s = 0
+    while s < len(cands):
+        rem = len(cands) - s
+        up = next((b for b in buckets if b >= rem), None)
+        if up is not None and up - rem < int(0.3 * up):
+            B = up  # one dispatch, acceptable padding
+        else:
+            fit = [b for b in buckets if b <= rem]
+            B = fit[-1] if fit else buckets[0]
+        grp = cands[s:s + B]
+        s += B
         rs = np.zeros((B, Tpad), np.int8)  # 0-fill: masked by t_lens on device
         cc = np.zeros(B, np.int32)
         ws = np.zeros(B, np.int32)
@@ -345,10 +360,10 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
             ws[b] = c.window_start
             astart[b] = a
             t_lens[b] = max(len(win), 1)
-        # candidate batches shard over the ``data`` mesh axis (the batch size
-        # is fixed at 2048 = a multiple of any mesh size we run): each device
-        # verifies its own slice of the candidates (SURVEY §2.5 — the
-        # reference rayon-parallelizes this per read, encode/mod.rs:342-351)
+        # candidate batches shard over the ``data`` mesh axis (bucket sizes
+        # are multiples of any mesh size we run): each device verifies its
+        # own slice of the candidates (SURVEY §2.5 — the reference
+        # rayon-parallelizes this per read, encode/mod.rs:342-351)
         if mesh is not None:
             cc_d, rsp_d, ws_d, as_d, tl_d = shard_leading(
                 mesh, cc, pack2bit(rs), ws, astart, t_lens)
@@ -357,12 +372,12 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
                                              t_lens)
         handle = _extend_hostwin(dev_blob, dev_lens, cc_d, rsp_d, ws_d,
                                  as_d, tl_d, W, Qpad, Tpad, margin)
-        dispatched.append((grp, handle))
+        dispatched.append((grp, B, handle))
     results = []
     overflow = []
-    for grp, handle in dispatched:
+    for grp, B, handle in dispatched:
         q_lens = [len(chunk_seqs[c.chunk_id]) for c in grp]
-        q_lens += [1] * (batch - len(grp))
+        q_lens += [1] * (B - len(grp))
         decoded = decode_indexed(*handle, q_lens)
         for c, (score, sj, ej, cigar, valid) in zip(grp, decoded):
             rec = {
@@ -373,8 +388,16 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
                 "span_end": ej,
             }
             if not valid:
-                # only >DEL_TOPK deletion runs land here (rare)
-                overflow.append(rec)
+                # distinguish WHY on the host: a window shorter than half the
+                # chunk can never reach the identity threshold (a full-chunk
+                # global alignment would need >= chunk/2 matched bases), so it
+                # is a guaranteed reject — no redo.  Only >DEL_TOPK deletion
+                # runs (rare) genuinely need the dense legacy pass.
+                a = max(c.window_start, 0)
+                bnd = min(c.window_start + c.window_len,
+                          len(read_codes[c.read_idx]))
+                if bnd - a >= len(chunk_seqs[c.chunk_id]) // 2:
+                    overflow.append(rec)
             results.append(rec)
     if pre_redo:
         redo_set = {id(c) for c in pre_redo}
@@ -394,9 +417,15 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
 
 
 def _extend_legacy(cands, read_codes, chunk_seqs, W, margin):
+    """Dense (N-safe, unpacked) redo path.  Batched: candidates are grouped
+    into fixed shape buckets (Qpad x Tpad, batch padded to a power of two) so
+    the whole redo set costs a handful of device calls instead of one per
+    candidate (the per-candidate version put 339 extra dispatches — and their
+    RPC floors — on the encode critical path of the 200 kb bench)."""
     from ..ops.banded_align import align_with_cigar_batch
-    out = []
-    for c in cands:
+    out = [None] * len(cands)
+    jobs = {}  # (Qp, Tp) -> list of (orig_idx, cseq, win, a, diag)
+    for i, c in enumerate(cands):
         cseq = chunk_seqs[c.chunk_id]
         rseq = read_codes[c.read_idx]
         if not c.is_forward:
@@ -405,24 +434,35 @@ def _extend_legacy(cands, read_codes, chunk_seqs, W, margin):
         bnd = min(c.window_start + c.window_len, len(rseq))
         win = rseq[a:bnd]
         if len(win) < 8:
-            out.append({"dist": 1 << 30, "ops": [],
-                        "span_start": a, "span_end": a})
+            out[i] = {"dist": 1 << 30, "ops": [],
+                      "span_start": a, "span_end": a}
             continue
         Qp = ((len(cseq) + 127) // 128) * 128
-        Tp = ((len(win) + 127) // 128) * 128
-        qs = np.full((1, Qp), 4, np.int8)
-        rs = np.full((1, Tp), 4, np.int8)
-        qs[0, :len(cseq)] = cseq
-        rs[0, :len(win)] = win
+        Tp = ((len(win) + 255) // 256) * 256
         diag = c.window_start + margin - a
-        off = diagonal_offsets(len(cseq), diag, len(win), Qp, W)
-        res = align_with_cigar_batch(qs, rs, off[None],
-                                     np.array([len(cseq)], np.int32),
-                                     np.array([len(win)], np.int32), W,
+        jobs.setdefault((Qp, Tp), []).append((i, cseq, win, a, diag))
+    for (Qp, Tp), grp in jobs.items():
+        B = 1 << max(len(grp) - 1, 0).bit_length()  # pad to power of two
+        qs = np.full((B, Qp), 4, np.int8)
+        rs = np.full((B, Tp), 4, np.int8)
+        q_lens = np.ones(B, np.int32)
+        t_lens = np.ones(B, np.int32)
+        offs = np.zeros((B, Qp + 1), np.int32)
+        for b, (_i, cseq, win, _a, diag) in enumerate(grp):
+            qs[b, :len(cseq)] = cseq
+            rs[b, :len(win)] = win
+            q_lens[b] = len(cseq)
+            t_lens[b] = len(win)
+            offs[b] = diagonal_offsets(len(cseq), diag, len(win), Qp, W)
+        for b in range(len(grp), B):  # padding rows repeat row 0
+            qs[b], rs[b] = qs[0], rs[0]
+            q_lens[b], t_lens[b], offs[b] = q_lens[0], t_lens[0], offs[0]
+        res = align_with_cigar_batch(qs, rs, offs, q_lens, t_lens, W,
                                      "infix")
-        out.append({"dist": int(res["score"][0]), "ops": res["cigar"][0],
-                    "span_start": int(a + res["start_j"][0]),
-                    "span_end": int(a + res["end_j"][0])})
+        for b, (i, _cseq, _win, a, _diag) in enumerate(grp):
+            out[i] = {"dist": int(res["score"][b]), "ops": res["cigar"][b],
+                      "span_start": int(a + res["start_j"][b]),
+                      "span_end": int(a + res["end_j"][b])}
     return out
 
 

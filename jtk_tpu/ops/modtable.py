@@ -321,6 +321,52 @@ modification_table_pairs = jax.jit(
 )
 
 
+def modification_table_pairs_sharded(qs, tpl, offs, q_lens, t_lens, par,
+                                     W: int, Tpad: int):
+    """modification_table_pairs with the pair batch sharded over the
+    ``data`` mesh axis (pads B up to a device multiple by repeating row 0;
+    rows are independent, so results are bit-identical at any mesh size).
+    The vmapped scan is pure GSPMD-friendly batching — sharding the inputs
+    is all XLA needs to split it (SURVEY §2.5)."""
+    from ..parallel import get_mesh, shard_leading
+    mesh = get_mesh()
+    B0 = qs.shape[0]
+    if mesh is None or B0 == 0:
+        return modification_table_pairs(qs, tpl, offs, q_lens, t_lens, par,
+                                        W, Tpad)
+    pad = (-B0) % mesh.size
+    if pad:
+        sl = np.concatenate([np.arange(B0), np.zeros(pad, np.int64)])
+        qs, tpl, offs = qs[sl], tpl[sl], offs[sl]
+        q_lens, t_lens = q_lens[sl], t_lens[sl]
+    qs, tpl, offs, q_lens, t_lens = shard_leading(mesh, qs, tpl, offs,
+                                                  q_lens, t_lens)
+    lk, tab = modification_table_pairs(qs, tpl, offs, q_lens, t_lens, par,
+                                       W, Tpad)
+    return np.asarray(lk)[:B0], np.asarray(tab)[:B0]
+
+
+def modification_table_pileup_sharded(qs, tpl, offs, q_lens, t_len, par,
+                                      W: int, Tpad: int):
+    """modification_table_pileup (one shared template) with the read batch
+    sharded over ``data`` — see modification_table_pairs_sharded."""
+    from ..parallel import get_mesh, replicate, shard_leading
+    mesh = get_mesh()
+    B0 = qs.shape[0]
+    if mesh is None or B0 == 0:
+        return modification_table_pileup(qs, tpl, offs, q_lens, t_len, par,
+                                         W, Tpad)
+    pad = (-B0) % mesh.size
+    if pad:
+        sl = np.concatenate([np.arange(B0), np.zeros(pad, np.int64)])
+        qs, offs, q_lens = qs[sl], offs[sl], q_lens[sl]
+    qs, offs, q_lens = shard_leading(mesh, qs, offs, q_lens)
+    tpl, = replicate(mesh, np.asarray(tpl))
+    lk, tab = modification_table_pileup(qs, tpl, offs, q_lens, t_len, par,
+                                        W, Tpad)
+    return np.asarray(lk)[:B0], np.asarray(tab)[:B0]
+
+
 def use_pallas() -> bool:
     """Pallas engine switch: JTK_TPU_PALLAS=1/0 overrides; default on for a
     real TPU backend, off elsewhere (the XLA scan is the CPU reference)."""
@@ -419,11 +465,49 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
     return np.concatenate(lks), np.concatenate(tabs)
 
 
+_PREP_BATCH_KEYS = ("qs_packed", "r_packed", "shifts", "off0", "q_lens_p",
+                    "t_len", "strand")
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_sharded_fn(mesh_key, W: int, Q: int, Tpad: int, interpret: bool,
+                      ranks):
+    """shard_map-wrapped fused modtable: pair rows split over ``data``, the
+    tiny parameter tables replicated.  Pallas calls are opaque to GSPMD, so
+    the split must be explicit — each device runs the kernels on its own
+    B/n_devices slice of the pileup (SURVEY §2.5/§5.8: the TPU counterpart
+    of the reference's rayon pool over local_clustering pileups,
+    local_clustering/mod.rs:64-72)."""
+    from jax.sharding import PartitionSpec as P
+    mesh = _MESHES[mesh_key]
+    in_specs = {k: P("data", *([None] * (r - 1))) if k in _PREP_BATCH_KEYS
+                else P() for k, r in ranks}
+    fn = functools.partial(_pallas_modtable_fused, params=None, W=W, Q=Q,
+                           Tpad=Tpad, interpret=interpret)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the default check rejects
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(in_specs,),
+                                 out_specs=(P("data"), P("data", None, None)),
+                                 check_vma=False))
+
+
+_MESHES: dict = {}
+
+
 def _pileup_pallas_exact(qs, tpl, offs, q_lens, t_len, params, W, Tpad,
                          interpret, strands, params_rev):
-    from .pallas_phmm import _prep_tables_inputs
-    prep, B0, _Qpad, Q, _B = _prep_tables_inputs(
+    from .pallas_phmm import SUB, _prep_tables_inputs
+    prep, B0, _Qpad, Q, B = _prep_tables_inputs(
         qs, tpl, offs, q_lens, t_len, params, W,
         strands=strands, params_rev=params_rev)
-    lk, tab = _pallas_modtable_fused(prep, params, W, Q, Tpad, interpret)
+    from ..parallel import get_mesh
+    mesh = get_mesh()
+    if mesh is not None and B % (mesh.size * SUB) == 0:
+        key = id(mesh)
+        _MESHES[key] = mesh
+        ranks = tuple(sorted((k, np.ndim(v)) for k, v in prep.items()))
+        fn = _fused_sharded_fn(key, W, Q, Tpad, interpret, ranks)
+        lk, tab = fn(prep)
+    else:
+        lk, tab = _pallas_modtable_fused(prep, params, W, Q, Tpad, interpret)
     return lk[:B0], tab[:B0]

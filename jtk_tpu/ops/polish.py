@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from .banded_align import linear_offsets
-from .modtable import NUM_EDIT, modification_table_pileup
+from .modtable import NUM_EDIT, modification_table_pileup_sharded
 from .phmm import PHMMParams
 
 
@@ -75,7 +75,7 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
                     qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
                     par, W, Tpad)
             else:
-                lk, tab = modification_table_pileup(
+                lk, tab = modification_table_pileup_sharded(
                     qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
                     par, W, Tpad)
             lk = np.asarray(lk, np.float64)
@@ -140,7 +140,7 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
     rj's log-likelihood against pileup i's template from the last round that
     evaluated it (== the returned template when the pileup converged, which
     is every pileup unless max_rounds is exhausted mid-progress)."""
-    from .modtable import (modification_table_pairs,
+    from .modtable import (modification_table_pairs_sharded,
                            modification_table_pileup_pallas, use_pallas)
     n = len(templates)
     tpls = [np.asarray(t, np.int8) for t in templates]
@@ -199,7 +199,7 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
                     t_lens[sel], par, Weff, Tpad,
                     strands=st, params_rev=prev_)
             else:
-                lk, tab = modification_table_pairs(
+                lk, tab = modification_table_pairs_sharded(
                     qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
                     t_lens[sel], par, Weff, Tpad)
             lk = np.asarray(lk, np.float64)

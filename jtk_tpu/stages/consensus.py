@@ -270,8 +270,9 @@ def dump_sam(ds: DataSet, contigs, path: str, names=None, W: int = 128,
 def _remap_tiles(contig, part_old_starts, part_new_starts, old_len, new_len):
     """Piecewise-linear old->new coordinate map from window start anchors so
     the chunk-space tiles stay in sync with the polished sequence — the
-    counterpart of the reference's fix_alignment re-alignment between rounds
-    (consensus/mod.rs:498-561)."""
+    coarse first pass of the reference's fix_alignment between rounds
+    (consensus/mod.rs:498-561); :func:`_reanchor_tiles` then refines each
+    tile by banded re-alignment."""
     xs = np.asarray(part_old_starts + [old_len], float)
     ys = np.asarray(part_new_starts + [new_len], float)
     order = np.argsort(xs)
@@ -279,6 +280,85 @@ def _remap_tiles(contig, part_old_starts, part_new_starts, old_len, new_len):
     for t in contig.get("tiles", []):
         t["start"] = int(np.interp(t["start"], xs, ys))
         t["end"] = int(np.interp(t["end"], xs, ys))
+
+
+def _reanchor_tiles(contig, old_cseq, new_cseq, margin: int = 200,
+                    batch: int = 48, max_err: float = 0.35):
+    """Re-align every tile's OLD sequence into the polished contig around its
+    interpolated position — the banded-DP counterpart of the reference's
+    fix_alignment window-boundary re-alignment (consensus/mod.rs:498-561).
+
+    ``contig['tiles']`` must already hold the interpolated guesses (call
+    :func:`_remap_tiles` first); each guess is refined by one batched infix
+    alignment of ``old_seq[tile]`` against ``new_seq[guess±margin]``.  Tiles
+    whose alignment fails (edit distance > max_err·len, or degenerate spans)
+    keep the interpolated coordinates."""
+    from ..ops.banded_align import align_with_cigar_batch, diagonal_offsets
+    tiles = contig.get("tiles", [])
+    jobs = []  # (tile, old_start, old_end, slice_off, slice_seq)
+    for t in tiles:
+        os_, oe = t.get("_old_start"), t.get("_old_end")
+        if os_ is None or oe is None or oe - os_ < 64 or os_ < 0:
+            continue
+        g0, g1 = t["start"], t["end"]
+        lo = max(g0 - margin, 0)
+        hi = min(g1 + margin, len(new_cseq))
+        if hi - lo < (oe - os_) // 2:
+            continue
+        jobs.append((t, os_, oe, lo, new_cseq[lo:hi]))
+    for s0 in range(0, len(jobs), batch):
+        grp = jobs[s0:s0 + batch]
+        Qpad = ((max(e[2] - e[1] for e in grp) + 63) // 64) * 64
+        Tpad = ((max(len(e[4]) for e in grp) + 63) // 64) * 64
+        W = ((2 * margin + Qpad // 8 + 127) // 128) * 128
+        B = len(grp)
+        qs = np.full((B, Qpad), 4, np.int8)
+        rs = np.full((B, Tpad), 4, np.int8)
+        q_lens = np.zeros(B, np.int32)
+        t_lens = np.zeros(B, np.int32)
+        offs = np.zeros((B, Qpad + 1), np.int32)
+        for i, (_t, os_, oe, _lo, sl) in enumerate(grp):
+            q = old_cseq[os_:oe]
+            qs[i, :len(q)] = q
+            q_lens[i] = len(q)
+            rs[i, :len(sl)] = sl
+            t_lens[i] = len(sl)
+            offs[i] = diagonal_offsets(len(q), max((len(sl) - len(q)) // 2, 0),
+                                       len(sl), Qpad, W)
+        res = align_with_cigar_batch(qs, rs, offs, q_lens, t_lens, W, "infix")
+        for i, (t, os_, oe, lo, _sl) in enumerate(grp):
+            d = int(res["score"][i])
+            s_j, e_j = int(res["start_j"][i]), int(res["end_j"][i])
+            if d > max_err * (oe - os_) or e_j - s_j < (oe - os_) // 2:
+                continue
+            t["start"], t["end"] = lo + s_j, lo + e_j
+    for t in tiles:
+        t.pop("_old_start", None)
+        t.pop("_old_end", None)
+
+
+def _terminal_shrink(spans, ext0, ext1, w0, w1, n_win, wi, min_cov):
+    """At contig ends the reads taper off, so the window-complete filter
+    (reads must span ext0+50..ext1-50) would leave terminal windows
+    unpolished.  Shrink the FIRST window's start (resp. LAST window's end) to
+    the coordinate still covered by >= min_cov reads — the counterpart of the
+    reference's partial-window tolerance (consensus/mod.rs:445-496).
+    Returns the adjusted (ext0, ext1)."""
+    if wi == 0 and spans:
+        ends_ok = [s for s in spans if s[1] >= ext1 - 50]
+        if len(ends_ok) >= min_cov:
+            starts = sorted(s[0] for s in ends_ok)
+            s = starts[min(min_cov - 1, len(starts) - 1)]
+            if s > ext0 + 50:
+                ext0 = min(s, ext1 - 200)
+    if wi == n_win - 1 and spans:
+        starts_ok = [s for s in spans if s[0] <= ext0 + 50]
+        if len(starts_ok) >= min_cov:
+            ends = sorted((s[1] for s in starts_ok), reverse=True)
+            e = ends[min(min_cov - 1, len(ends) - 1)]
+            if e < ext1 - 50:
+                ext1 = max(e, ext0 + 200)
+    return ext0, ext1
 
 
 def polish_contigs(ds: DataSet, contigs, window: int = 2000,
@@ -306,23 +386,28 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                 continue
             polished_parts = []
             n_win = max((len(cseq) + window - 1) // window, 1)
+            spans = [(min(a[2] for a in chain), max(a[3] for a in chain))
+                     for _ri, _sign, chain in aligns]
             for wi in range(n_win):
                 w0 = wi * window
                 w1 = min(w0 + window, len(cseq))
                 ext0 = max(w0 - overlap, 0)
                 ext1 = min(w1 + overlap, len(cseq))
-                template = cseq[ext0:ext1]
+                # terminal windows: polish only the min_cov-covered subrange
+                # and keep the uncovered flanks raw
+                s0, s1 = _terminal_shrink(
+                    [s for s in spans if s[1] > ext0 and s[0] < ext1],
+                    ext0, ext1, w0, w1, n_win, wi, min_cov)
+                template = cseq[s0:s1]
                 segs, strands = [], []
-                for ri, sign, chain in aligns:
-                    cs0 = min(a[2] for a in chain)
-                    ce1 = max(a[3] for a in chain)
-                    if ce1 <= ext0 or cs0 >= ext1:
+                for (ri, sign, chain), (cs0, ce1) in zip(aligns, spans):
+                    if ce1 <= s0 or cs0 >= s1:
                         continue
                     # only reads covering the whole window give good templates
-                    if cs0 > ext0 + 50 or ce1 < ext1 - 50:
+                    if cs0 > s0 + 50 or ce1 < s1 - 50:
                         continue
                     seg = _window_segment(read_codes[ri], sign, chain,
-                                          ext0, ext1, margin)
+                                          s0, s1, margin)
                     if seg is not None:
                         segs.append(seg)
                         strands.append(sign > 0)
@@ -341,6 +426,10 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                     template, _ = polish_until_converge(
                         template, segs, params_f, W=band, max_rounds=6,
                         strands=np.array(strands), params_rev=params_r)
+                if s0 > ext0:
+                    template = np.concatenate([cseq[ext0:s0], template])
+                if s1 < ext1:
+                    template = np.concatenate([template, cseq[s1:ext1]])
                 polished_parts.append((ext0, w0, w1, ext1, template))
             # stitch neighbouring windows (they overlap by ~2*overlap bp)
             out = None
@@ -358,8 +447,11 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                 new_seq = seqmod.decode(out).decode()
                 if new_seq != contig["seq"]:
                     any_change = True
+                for t in contig.get("tiles", []):
+                    t["_old_start"], t["_old_end"] = t["start"], t["end"]
                 _remap_tiles(contig, old_starts, new_starts,
                              len(cseq), len(out))
+                _reanchor_tiles(contig, cseq, out)
                 contig["seq"] = new_seq
         if not any_change:
             break

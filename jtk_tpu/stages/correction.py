@@ -33,7 +33,9 @@ from .util import adjusted_rand_index
 
 logger = logging.getLogger(__name__)
 
-ARM_LEN = 8          # arm cap for the vectorized SWG (reference: full arms)
+ARM_LEN_MIN = 8      # lower bound on the adaptive arm cap
+ARM_LEN_MAX = 64     # upper bound (a 128 kbp read at 2 kbp chunks)
+ARM_LEN = ARM_LEN_MIN  # backwards-compatible alias
 EIG_THR = 0.2
 HARD_NEG = -10000.0
 GAP_OPEN = -0.5
@@ -97,43 +99,58 @@ def _sim_matrix(P: np.ndarray, cps: np.ndarray) -> np.ndarray:
 def _swg_batch(M: np.ndarray, len1: np.ndarray, len2: np.ndarray) -> np.ndarray:
     """Batched SWG over precomputed match matrices M (B, A, A); gaps open
     -0.5 / extend -100, free tail (max over last row+column within lengths)
-    (align_swg, :481-533)."""
+    (align_swg, :481-533).
+
+    Row-streaming: only three (B, A+1) rows are live, and the in-row gap
+    recurrence d2[j] = max(mat[j-1]+o, d1[j-1]+o, d2[j-1]+e) is solved in
+    closed form as a cummax — d2[j] = j·e + max_{j'<=j}(x[j'-1] + o - j'·e)
+    with x = max(mat, d1) — so the whole DP is O(A) vectorized steps instead
+    of O(A^2) Python iterations (full arms, A up to 64, stay affordable)."""
     B, A, _ = M.shape
     LOW = -1e18
-    mat = np.full((B, A + 1, A + 1), LOW)
-    d2 = np.full((B, A + 1, A + 1), LOW)
-    d1 = np.full((B, A + 1, A + 1), LOW)
-    mat[:, 0, 0] = 0.0
-    for i in range(1, A + 1):
-        d1[:, i, 0] = GAP_OPEN + (i - 1) * GAP_EXTEND
-        d2[:, 0, i] = GAP_OPEN + (i - 1) * GAP_EXTEND
-    for i in range(1, A + 1):
-        best_prev = np.maximum(np.maximum(mat[:, i - 1, :-1], d2[:, i - 1, :-1]),
-                               d1[:, i - 1, :-1])
-        mat[:, i, 1:] = best_prev + M[:, i - 1, :]
-        d1[:, i, 1:] = np.maximum(
-            np.maximum(mat[:, i - 1, 1:] + GAP_OPEN, d2[:, i - 1, 1:] + GAP_OPEN),
-            d1[:, i - 1, 1:] + GAP_EXTEND)
-        for j in range(1, A + 1):
-            d2[:, i, j] = np.maximum(
-                np.maximum(mat[:, i, j - 1] + GAP_OPEN,
-                           d1[:, i, j - 1] + GAP_OPEN),
-                d2[:, i, j - 1] + GAP_EXTEND)
-    best = np.maximum(np.maximum(mat, d2), d1)   # (B, A+1, A+1)
+    j_idx = np.arange(A + 1)
     bidx = np.arange(B)
-    out = np.full(B, LOW)
-    for j in range(A + 1):
-        v = np.where(j <= len2, best[bidx, len1, j], LOW)
-        out = np.maximum(out, v)
-    for i in range(A + 1):
-        v = np.where(i <= len1, best[bidx, i, len2], LOW)
-        out = np.maximum(out, v)
+    mat_p = np.full((B, A + 1), LOW)
+    mat_p[:, 0] = 0.0
+    d1_p = np.full((B, A + 1), LOW)
+    d2_p = np.full((B, A + 1), LOW)
+    d2_p[:, 1:] = GAP_OPEN + (j_idx[1:] - 1) * GAP_EXTEND
+
+    def tails(best, i, out):
+        # column len2 contributes at every row i <= len1; row len1 (over
+        # j <= len2) contributes once, when i == len1
+        out = np.maximum(out, np.where(i <= len1, best[bidx, len2], LOW))
+        at_end = i == len1
+        if at_end.any():
+            masked = np.where(j_idx[None, :] <= len2[:, None], best, LOW)
+            out = np.maximum(out, np.where(at_end, masked.max(1), LOW))
+        return out
+
+    out = tails(np.maximum(mat_p, d2_p), 0, np.full(B, LOW))
+    for i in range(1, A + 1):
+        best_prev = np.maximum(np.maximum(mat_p[:, :-1], d2_p[:, :-1]),
+                               d1_p[:, :-1])
+        mat_c = np.full((B, A + 1), LOW)
+        mat_c[:, 1:] = best_prev + M[:, i - 1, :]
+        d1_c = np.empty((B, A + 1))
+        d1_c[:, 0] = GAP_OPEN + (i - 1) * GAP_EXTEND
+        d1_c[:, 1:] = np.maximum(
+            np.maximum(mat_p[:, 1:] + GAP_OPEN, d2_p[:, 1:] + GAP_OPEN),
+            d1_p[:, 1:] + GAP_EXTEND)
+        x = np.maximum(mat_c[:, :-1], d1_c[:, :-1]) + GAP_OPEN
+        cm = np.maximum.accumulate(x - j_idx[1:] * GAP_EXTEND, axis=1)
+        d2_c = np.full((B, A + 1), LOW)
+        d2_c[:, 1:] = cm + j_idx[1:] * GAP_EXTEND
+        out = tails(np.maximum(np.maximum(mat_c, d2_c), d1_c), i, out)
+        mat_p, d1_p, d2_p = mat_c, d1_c, d2_c
     return out
 
 
-def _contexts(ds: DataSet, occ):
+def _contexts(ds: DataSet, occ, arm_len: int | None = None):
     """Per occurrence: center posterior + oriented arm (chunk, flat posterior
-    index) lists (to_context, :242-261)."""
+    index) lists (to_context, :242-261).  The reference keeps FULL read arms;
+    ``arm_len=None`` does the same (callers cap adaptively, see
+    :func:`_adaptive_arm_cap`)."""
     ctxs = []
     for ri, ni in occ:
         er = ds.encoded_reads[ri]
@@ -145,13 +162,27 @@ def _contexts(ds: DataSet, occ):
             up, down = before, after
         else:
             up, down = after, before
-        ctxs.append((n, up[:ARM_LEN], down[:ARM_LEN]))
+        if arm_len is not None:
+            up, down = up[:arm_len], down[:arm_len]
+        ctxs.append((n, up, down))
     return ctxs
 
 
-def _pair_similarities(ds: DataSet, ctxs, cluster_cps):
+def _adaptive_arm_cap(ctxs) -> int:
+    """95th-percentile arm length, clamped to [ARM_LEN_MIN, ARM_LEN_MAX] —
+    full context for nearly every read without letting one ultra-long
+    outlier quadratically inflate the SWG grid."""
+    lens = [max(len(u), len(d)) for _n, u, d in ctxs] or [0]
+    p95 = int(np.ceil(np.percentile(lens, 95)))
+    return int(np.clip(p95, ARM_LEN_MIN, ARM_LEN_MAX))
+
+
+def _pair_similarities(ds: DataSet, ctxs, cluster_cps,
+                       arm_len: int | None = None):
     """(R, R) sigmoid similarity matrix for one chunk's contexts."""
     R = len(ctxs)
+    A_LEN = _adaptive_arm_cap(ctxs) if arm_len is None else arm_len
+    ctxs = [(n, up[:A_LEN], down[:A_LEN]) for n, up, down in ctxs]
     # register every arm entry per chunk for grouped sim computation
     entry_index = {}   # (ri, ni) -> (chunk, idx within chunk group)
     groups = defaultdict(list)
@@ -176,11 +207,11 @@ def _pair_similarities(ds: DataSet, ctxs, cluster_cps):
         sims[ch] = _sim_matrix(Pm, cps)
 
     # per-occurrence arm arrays
-    up_ch = np.full((R, ARM_LEN), -1, np.int64)
-    up_ix = np.zeros((R, ARM_LEN), np.int64)
+    up_ch = np.full((R, A_LEN), -1, np.int64)
+    up_ix = np.zeros((R, A_LEN), np.int64)
     up_len = np.zeros(R, np.int64)
-    dn_ch = np.full((R, ARM_LEN), -1, np.int64)
-    dn_ix = np.zeros((R, ARM_LEN), np.int64)
+    dn_ch = np.full((R, A_LEN), -1, np.int64)
+    dn_ix = np.zeros((R, A_LEN), np.int64)
     dn_len = np.zeros(R, np.int64)
     for i, (_n, up, down) in enumerate(ctxs):
         for a, (ch, key) in enumerate(up):
@@ -203,13 +234,15 @@ def _pair_similarities(ds: DataSet, ctxs, cluster_cps):
         cps_c = np.ones(kc)
     center_sim = _sim_matrix(Pc, cps_c)
 
-    # batched arm alignment over all R^2 pairs
-    ii, jj = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
-    ii, jj = ii.reshape(-1), jj.reshape(-1)
+    # batched arm alignment over all R^2 pairs, sliced so the (B, A, A)
+    # match-matrix block stays bounded regardless of coverage x arm length
+    ii_all, jj_all = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
+    ii_all, jj_all = ii_all.reshape(-1), jj_all.reshape(-1)
+    slice_b = max(int(3e7) // max(A_LEN * A_LEN, 1), 256)
 
-    def arm_scores(ch_arr, ix_arr, len_arr):
+    def arm_scores(ch_arr, ix_arr, len_arr, ii, jj):
         B = len(ii)
-        M = np.full((B, ARM_LEN, ARM_LEN), MISM)
+        M = np.full((B, A_LEN, A_LEN), MISM)
         c1 = ch_arr[ii]          # (B, A)
         c2 = ch_arr[jj]
         same = (c1[:, :, None] == c2[:, None, :]) & (c1[:, :, None] >= 0)
@@ -224,9 +257,12 @@ def _pair_similarities(ds: DataSet, ctxs, cluster_cps):
             M[b, a1, a2] = S[ix_arr[ii][b, a1], ix_arr[jj][b, a2]]
         return _swg_batch(M, len_arr[ii], len_arr[jj])
 
-    total = arm_scores(up_ch, up_ix, up_len) \
-        + arm_scores(dn_ch, dn_ix, dn_len) \
-        + center_sim[ii, jj]
+    total = np.empty(R * R)
+    for s in range(0, R * R, slice_b):
+        ii, jj = ii_all[s:s + slice_b], jj_all[s:s + slice_b]
+        total[s:s + slice_b] = arm_scores(up_ch, up_ix, up_len, ii, jj) \
+            + arm_scores(dn_ch, dn_ix, dn_len, ii, jj) \
+            + center_sim[ii, jj]
     A = 1.0 / (1.0 + np.exp(-np.clip(total, -60, 60)))
     A = A.reshape(R, R)
     np.fill_diagonal(A, 0.0)

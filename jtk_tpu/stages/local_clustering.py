@@ -25,7 +25,7 @@ from .. import seq as seqmod
 from ..datamodel import DataSet, ReadType
 from ..ops.banded_align import linear_offsets
 from ..ops.cluster import POS_THR, mcmc_cluster_batch, poisson_size_table, used_columns_and_gains
-from ..ops.modtable import NUM_EDIT, modification_table_pileup
+from ..ops.modtable import NUM_EDIT, modification_table_pileup_sharded
 from ..ops.phmm import PHMMParams
 from ..ops.polish import polish_until_converge
 from .likelihood_gains import Gains, estimate_gains
@@ -126,7 +126,7 @@ def _pileup_tables(reads, strands, template, params_f, params_r, W, Tpad,
         par = params_f if fwd else params_r
         for s in range(0, len(idx), max_batch):
             sel = idx[s:s + max_batch]
-            lk, tab = modification_table_pileup(
+            lk, tab = modification_table_pileup_sharded(
                 qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
                 par, W, Tpad)
             lk = np.asarray(lk)
@@ -494,7 +494,7 @@ def _batched_profiles(per_chunk, params_f, params_r, band, Tpad,
     """Per-read modification-table profiles for ALL chunks in two strand
     passes (per-pair templates): {cid: (lks, profs)}."""
     from ..ops.banded_align import linear_offsets
-    from ..ops.modtable import (modification_table_pairs,
+    from ..ops.modtable import (modification_table_pairs_sharded,
                                 modification_table_pileup_pallas, use_pallas)
     from ..ops.polish import effective_band
     pallas_on = use_pallas()
@@ -541,7 +541,7 @@ def _batched_profiles(per_chunk, params_f, params_r, band, Tpad,
                 sel = idx[s:s + max_batch]
                 if len(sel) == 0:
                     continue
-                lk, tab = modification_table_pairs(
+                lk, tab = modification_table_pairs_sharded(
                     qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
                     t_lens[sel], par, Weff, Tpad)
                 lk = np.asarray(lk)
