@@ -148,20 +148,36 @@ def sv_diploid(rng: np.random.Generator, length: int = 1_000_000,
 
 
 def simulate_reads(rng: np.random.Generator, haplotypes, coverage: float,
-                   mean_len: int, error: float, min_len: int = 500):
+                   mean_len: int, error: float, min_len: int = 500,
+                   clip_ends: bool = False):
     """Sample reads uniformly over the haplotypes; ~half reverse strand.
+
+    ``clip_ends=True`` samples reads as if the region were EXTRACTED from a
+    larger genome (reads overlapping the boundary are clipped to it), giving
+    uniform coverage all the way to the region ends — the reference's
+    COX_PGF-style workflow (README.md:16-21).  Default sampling confines
+    reads inside the region, which tapers coverage over ~read-length at each
+    end (realistic for a complete molecule, harsh for tiny test genomes).
 
     Returns list of dicts: codes, hap (index), start, end, is_forward.
     """
     reads = []
     total = sum(len(h) for h in haplotypes)
-    n_reads = int(coverage * total / mean_len / len(haplotypes) * len(haplotypes))
     n_reads = max(int(coverage * total / mean_len), 1)
     for _ in range(n_reads):
         h = int(rng.integers(0, len(haplotypes)))
         hap = haplotypes[h]
         ln = int(np.clip(rng.normal(mean_len, mean_len / 4), min_len, len(hap)))
-        start = int(rng.integers(0, max(len(hap) - ln, 1)))
+        if clip_ends:
+            start = int(rng.integers(-(ln - min_len),
+                                     max(len(hap) - min_len, 1)))
+            end = min(start + ln, len(hap))
+            start = max(start, 0)
+            if end - start < min_len:
+                continue
+            ln = end - start
+        else:
+            start = int(rng.integers(0, max(len(hap) - ln, 1)))
         frag = hap[start:start + ln]
         codes = noisy_read(rng, frag, error)
         fwd = bool(rng.random() < 0.5)

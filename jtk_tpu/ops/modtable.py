@@ -413,7 +413,8 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
                                      W: int, Tpad: int,
                                      interpret: bool = False,
                                      strands=None,
-                                     params_rev=None):
+                                     params_rev=None,
+                                     seg_ids=None, n_seg=None):
     """Pallas-engine modification tables: the banded fwd/bwd wavefronts run
     in the fused VMEM-resident kernels (ops.pallas_phmm) streaming tables to
     HBM; the oracle-tested closed-form assembly then reads them — all in a
@@ -448,7 +449,9 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
         B_slice = MAXB
     else:
         B_slice = max(8, 1 << int(np.ceil(np.log2(max(B_all, 1)))))
+    reduce = seg_ids is not None
     lks, tabs = [], []
+    totals = None
     for s in range(0, B_all, B_slice):
         e = min(B_all, s + B_slice)
         pad = B_slice - (e - s)
@@ -457,16 +460,122 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
         tpl_s = tpl if tpl.ndim == 1 else tpl[sl]
         tl_s = t_len if np.ndim(t_len) == 0 else np.asarray(t_len)[sl]
         st_s = None if strands is None else np.asarray(strands)[sl]
+        seg_s = None
+        if reduce:
+            # padding rows repeat row 0's DATA but must not pollute its
+            # segment — they point at the dump segment instead
+            seg_s = np.concatenate([np.asarray(seg_ids)[s:e],
+                                    np.full(pad, n_seg, np.int64)])
         lk, tab = _pileup_pallas_exact(
             qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params, W,
-            Tpad, interpret, st_s, params_rev)
+            Tpad, interpret, st_s, params_rev, seg_ids=seg_s, n_seg=n_seg)
         lks.append(np.asarray(lk)[:e - s])
-        tabs.append(np.asarray(tab)[:e - s])
+        if reduce:
+            t = np.asarray(tab, np.float64)
+            totals = t if totals is None else totals + t
+        else:
+            tabs.append(np.asarray(tab)[:e - s])
+    if reduce:
+        return np.concatenate(lks), totals
     return np.concatenate(lks), np.concatenate(tabs)
 
 
 _PREP_BATCH_KEYS = ("qs_packed", "r_packed", "shifts", "off0", "q_lens_p",
                     "t_len", "strand")
+
+
+def _gain_segments(lk, tab, seg, n_seg: int):
+    """Per-pair gain (tab - lk, masked entries pinned at -1e30) reduced into
+    per-template totals ON DEVICE — the (B, Tpad+1, NUM_EDIT) table never
+    crosses the host link (23 MB per 192-pair slice on the tunnel; the
+    totals are n_tpl/B of that).  Segment n_seg is the dump row for padding
+    pairs."""
+    gain = jnp.where(tab < jnp.float32(-1e29), jnp.float32(-1e30),
+                     tab - lk[:, None, None])
+    tot = jax.ops.segment_sum(gain, seg, num_segments=n_seg + 1)
+    return lk, tot[:n_seg]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "Q", "Tpad", "interpret", "n_seg"))
+def _pallas_modtable_fused_reduced(prep, seg, W: int, Q: int, Tpad: int,
+                                   interpret: bool, n_seg: int):
+    lk, tab = _pallas_modtable_fused(prep, None, W, Q, Tpad, interpret)
+    return _gain_segments(lk, tab, seg, n_seg)
+
+
+POS_THR_DEV = 1e-5  # == ops.cluster.POS_THR (variant-support threshold)
+
+
+def _compressed_prof(tab, lk, seg, exp_mat):
+    """Per-pair gain profile and its small-gain-compressed form (masked
+    entries -> 0; |gain| below half the homopolymer-conditioned expectation
+    -> 0; compress_small_gains, pseudo_mcmc.rs:141-165)."""
+    prof = jnp.where(tab < jnp.float32(-1e29), 0.0,
+                     tab - lk[:, None, None])
+    comp = jnp.where(jnp.abs(prof) < 0.5 * exp_mat[seg], 0.0, prof)
+    return prof, comp
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "Q", "Tpad", "interpret", "n_seg"))
+def _pallas_modtable_fused_stats(prep, seg, exp_mat, fwd, W: int, Q: int,
+                                 Tpad: int, interpret: bool, n_seg: int):
+    """Fused modtable + per-template VARIANT STATS, reduced on device.
+
+    Returns (lk (B,), stats (n_seg, Tpad+1, NUM_EDIT, 6), tab) where the
+    stats planes are [support count, supported gain total, strand/sign
+    contingency (rev-,rev+,fwd-,fwd+)] — everything filter_variants needs
+    except the per-read candidate columns, which a later `_gather_prof_cols`
+    call fetches from the still-resident ``tab``.  ``fwd`` is 1.0 for
+    forward-strand rows; ``exp_mat`` rows are per SEGMENT (+1 dump row)."""
+    lk, tab = _pallas_modtable_fused(prep, None, W, Q, Tpad, interpret)
+    prof, comp = _compressed_prof(tab, lk, seg, exp_mat)
+    pos = comp > POS_THR_DEV
+    nz = jnp.abs(comp) > 1e-4
+    sgn = comp > 0.0
+    f = fwd[:, None, None] > 0.5
+    planes = jnp.stack([
+        pos.astype(jnp.float32),
+        jnp.where(pos, comp, 0.0),
+        (nz & ~f & ~sgn).astype(jnp.float32),
+        (nz & ~f & sgn).astype(jnp.float32),
+        (nz & f & ~sgn).astype(jnp.float32),
+        (nz & f & sgn).astype(jnp.float32),
+    ], axis=-1)
+    stats = jax.ops.segment_sum(planes, seg, num_segments=n_seg + 1)
+    return lk, stats[:n_seg], tab
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_prof_cols(tab, lk, seg, exp_mat, cols):
+    """(B, n_cols) raw and compressed profile values at flat columns
+    ``cols`` (index into the (Tpad+1)*NUM_EDIT flattened table)."""
+    prof, comp = _compressed_prof(tab, lk, seg, exp_mat)
+    B = tab.shape[0]
+    return (prof.reshape(B, -1)[:, cols], comp.reshape(B, -1)[:, cols])
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_sharded_reduced_fn(mesh_key, W: int, Q: int, Tpad: int,
+                              interpret: bool, ranks, n_seg: int):
+    """Sharded fused modtable + in-jit per-template gain reduction: each
+    device reduces its own pair rows, XLA inserts the cross-device sum."""
+    from jax.sharding import PartitionSpec as P
+    mesh = _MESHES[mesh_key]
+    in_specs = {k: P("data", *([None] * (r - 1))) if k in _PREP_BATCH_KEYS
+                else P() for k, r in ranks}
+    fn = functools.partial(_pallas_modtable_fused, params=None, W=W, Q=Q,
+                           Tpad=Tpad, interpret=interpret)
+    sm = jax.shard_map(fn, mesh=mesh, in_specs=(in_specs,),
+                       out_specs=(P("data"), P("data", None, None)),
+                       check_vma=False)
+
+    def reduced(prep, seg):
+        lk, tab = sm(prep)
+        return _gain_segments(lk, tab, seg, n_seg)
+
+    return jax.jit(reduced)
 
 
 @functools.lru_cache(maxsize=32)
@@ -494,20 +603,106 @@ def _fused_sharded_fn(mesh_key, W: int, Q: int, Tpad: int, interpret: bool,
 _MESHES: dict = {}
 
 
+def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
+                                 W: int, Tpad: int, strands, params_rev,
+                                 seg_ids, n_seg: int, exp_mat,
+                                 interpret: bool = False):
+    """Variant-stats flavour of modification_table_pileup_pallas: one fused
+    dispatch per MAXB slice computes the modtables AND reduces them to
+    per-template variant statistics on device; the per-pair tables stay
+    resident so candidate columns can be fetched afterwards without ever
+    shipping the full (B, Tpad+1, NUM_EDIT) block over the host link.
+
+    Returns (lks (B,), stats (n_seg, Tpad+1, NUM_EDIT, 6),
+    gather(flat_cols) -> (raw (B, U), comp (B, U))).
+    stats planes: [support count, supported gain, rev-, rev+, fwd-, fwd+].
+    """
+    from .pallas_phmm import _prep_tables_inputs
+    interpret = interpret or jax.default_backend() != "tpu"
+    W = ((int(W) + 127) // 128) * 128
+    tpl = np.asarray(tpl)
+    tpl = tpl[:Tpad] if tpl.ndim == 1 else tpl[:, :Tpad]
+    qs = np.asarray(qs)
+    offs = np.asarray(offs)
+    q_lens = np.asarray(q_lens, np.int32)
+    seg_ids = np.asarray(seg_ids, np.int64)
+    B_all = qs.shape[0]
+    MAXB = 192
+    if B_all > 128:
+        B_slice = MAXB
+    else:
+        B_slice = max(8, 1 << int(np.ceil(np.log2(max(B_all, 1)))))
+    exp_pad = np.concatenate(  # +1 dump row for padding pairs
+        [np.asarray(exp_mat, np.float32),
+         np.zeros((1,) + np.shape(exp_mat)[1:], np.float32)])
+    lks, stats, handles = [], None, []
+    for s in range(0, B_all, B_slice):
+        e = min(B_all, s + B_slice)
+        pad = B_slice - (e - s)
+        sl = np.concatenate([np.arange(s, e), np.zeros(pad, np.int64)])
+        tpl_s = tpl if tpl.ndim == 1 else tpl[sl]
+        tl_s = t_len if np.ndim(t_len) == 0 else np.asarray(t_len)[sl]
+        st_s = None if strands is None else np.asarray(strands)[sl]
+        seg_s = np.concatenate([seg_ids[s:e], np.full(pad, n_seg, np.int64)])
+        prep, B0, _Qpad, Q, B = _prep_tables_inputs(
+            qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params, W,
+            strands=st_s, params_rev=params_rev)
+        seg_p = np.full(B, n_seg, np.int32)
+        seg_p[:B0] = seg_s
+        fwd_p = np.ones(B, np.float32)
+        if st_s is not None:
+            fwd_p[:B0] = np.asarray(st_s, bool).astype(np.float32)
+        lk, st_out, tab = _pallas_modtable_fused_stats(
+            prep, seg_p, exp_pad, fwd_p, W, Q, Tpad, interpret, n_seg)
+        lks.append(np.asarray(lk)[:e - s])
+        t = np.asarray(st_out, np.float64)
+        stats = t if stats is None else stats + t
+        handles.append((tab, lk, seg_p, e - s))
+
+    def gather(flat_cols):
+        cols = np.asarray(flat_cols, np.int64)
+        U = ((len(cols) + 127) // 128) * 128
+        cols_p = np.concatenate([cols, np.zeros(U - len(cols), np.int64)])
+        raws, comps = [], []
+        for tab, lk, seg_p, n_real in handles:
+            r, c = _gather_prof_cols(tab, lk, seg_p, exp_pad, cols_p)
+            raws.append(np.asarray(r)[:n_real, :len(cols)])
+            comps.append(np.asarray(c)[:n_real, :len(cols)])
+        return np.concatenate(raws), np.concatenate(comps)
+
+    return np.concatenate(lks), stats, gather
+
+
 def _pileup_pallas_exact(qs, tpl, offs, q_lens, t_len, params, W, Tpad,
-                         interpret, strands, params_rev):
+                         interpret, strands, params_rev,
+                         seg_ids=None, n_seg=None):
+    """seg_ids/n_seg: when given, returns (lk[:B0], per-segment gain totals)
+    instead of (lk[:B0], per-pair tables) — the reduction runs on device."""
     from .pallas_phmm import SUB, _prep_tables_inputs
     prep, B0, _Qpad, Q, B = _prep_tables_inputs(
         qs, tpl, offs, q_lens, t_len, params, W,
         strands=strands, params_rev=params_rev)
     from ..parallel import get_mesh
     mesh = get_mesh()
+    reduce = seg_ids is not None
+    if reduce:
+        seg = np.full(B, n_seg, np.int32)
+        seg[:B0] = seg_ids
     if mesh is not None and B % (mesh.size * SUB) == 0:
         key = id(mesh)
         _MESHES[key] = mesh
         ranks = tuple(sorted((k, np.ndim(v)) for k, v in prep.items()))
+        if reduce:
+            fn = _fused_sharded_reduced_fn(key, W, Q, Tpad, interpret, ranks,
+                                           n_seg)
+            lk, out = fn(prep, seg)
+            return lk[:B0], out
         fn = _fused_sharded_fn(key, W, Q, Tpad, interpret, ranks)
         lk, tab = fn(prep)
-    else:
-        lk, tab = _pallas_modtable_fused(prep, params, W, Q, Tpad, interpret)
+        return lk[:B0], tab[:B0]
+    if reduce:
+        lk, out = _pallas_modtable_fused_reduced(prep, seg, W, Q, Tpad,
+                                                 interpret, n_seg)
+        return lk[:B0], out
+    lk, tab = _pallas_modtable_fused(prep, params, W, Q, Tpad, interpret)
     return lk[:B0], tab[:B0]

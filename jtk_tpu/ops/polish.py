@@ -57,27 +57,32 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
     offs = np.stack([linear_offsets(int(l), t_len, Qpad, W) for l in q_lens])
     lks = np.zeros(R, np.float64)
     total = np.zeros((Tpad + 1, NUM_EDIT), np.float64)
+    from .modtable import modification_table_pileup_pallas, use_pallas
+    if use_pallas():
+        # one strand-merged dispatch; the gain total reduces on device
+        st = None if strands is None or params_rev is None \
+            else np.asarray(strands, bool)
+        lk, tot = modification_table_pileup_pallas(
+            qs, tpl, offs, q_lens, np.int32(t_len), params, W, Tpad,
+            strands=st, params_rev=params_rev,
+            seg_ids=np.zeros(R, np.int32), n_seg=1)
+        lks[:] = np.asarray(lk, np.float64)
+        total += tot[0]
+        return lks, total
     if strands is None or params_rev is None:
         groups = [(np.arange(R), params)]
     else:
         strands = np.asarray(strands, bool)
         groups = [(np.nonzero(strands)[0], params),
                   (np.nonzero(~strands)[0], params_rev)]
-    from .modtable import modification_table_pileup_pallas, use_pallas
-    pallas_on = use_pallas()
     for idx, par in groups:
         for s in range(0, len(idx), max_batch):
             sel = idx[s:s + max_batch]
             if len(sel) == 0:
                 continue
-            if pallas_on:
-                lk, tab = modification_table_pileup_pallas(
-                    qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
-                    par, W, Tpad)
-            else:
-                lk, tab = modification_table_pileup_sharded(
-                    qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
-                    par, W, Tpad)
+            lk, tab = modification_table_pileup_sharded(
+                qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
+                par, W, Tpad)
             lk = np.asarray(lk, np.float64)
             tab = np.asarray(tab, np.float64)
             lks[sel] = lk
@@ -183,32 +188,40 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
         totals = {i: np.zeros((Tpad + 1, NUM_EDIT)) for i in idxs}
         pair_strand = np.asarray(pair_strand, bool)
         if pallas_on:
-            groups = [(np.arange(Bp), params, pair_strand,
-                       params_rev)]
-        elif params_rev is None:
-            groups = [(np.arange(Bp), params, None, None)]
+            # per-template gain totals reduce ON DEVICE (segment_sum over
+            # the pair axis): only (n_tpl, Tpad+1, NUM_EDIT) + the per-pair
+            # lks cross the link, not the 30x larger per-pair tables
+            loc = {i: pos for pos, i in enumerate(idxs)}
+            seg_ids = np.array([loc[i] for i in pair_tpl_idx], np.int32)
+            lk, tot = modification_table_pileup_pallas(
+                qs, tpl_mat, offs, q_lens, t_lens, params, Weff, Tpad,
+                strands=pair_strand, params_rev=params_rev,
+                seg_ids=seg_ids, n_seg=len(idxs))
+            lk = np.asarray(lk, np.float64)
+            for i in idxs:
+                totals[i] = tot[loc[i]]
+            for b in range(Bp):
+                lks[pair_tpl_idx[b]][pair_read_idx[b]] = lk[b]
         else:
-            groups = [(np.nonzero(pair_strand)[0], params, None, None),
-                      (np.nonzero(~pair_strand)[0], params_rev, None, None)]
-        for sel, par, st, prev_ in groups:
-            if len(sel) == 0:
-                continue
-            if pallas_on:
-                lk, tab = modification_table_pileup_pallas(
-                    qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
-                    t_lens[sel], par, Weff, Tpad,
-                    strands=st, params_rev=prev_)
+            if params_rev is None:
+                groups = [(np.arange(Bp), params, None, None)]
             else:
+                groups = [(np.nonzero(pair_strand)[0], params, None, None),
+                          (np.nonzero(~pair_strand)[0], params_rev, None,
+                           None)]
+            for sel, par, st, prev_ in groups:
+                if len(sel) == 0:
+                    continue
                 lk, tab = modification_table_pairs_sharded(
                     qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
                     t_lens[sel], par, Weff, Tpad)
-            lk = np.asarray(lk, np.float64)
-            tab = np.asarray(tab, np.float64)
-            gain = np.where(tab < -1e29, -1e30, tab - lk[:, None, None])
-            for b_pos, b in enumerate(sel):
-                i = pair_tpl_idx[b]
-                totals[i] += gain[b_pos]
-                lks[i][pair_read_idx[b]] = lk[b_pos]
+                lk = np.asarray(lk, np.float64)
+                tab = np.asarray(tab, np.float64)
+                gain = np.where(tab < -1e29, -1e30, tab - lk[:, None, None])
+                for b_pos, b in enumerate(sel):
+                    i = pair_tpl_idx[b]
+                    totals[i] += gain[b_pos]
+                    lks[i][pair_read_idx[b]] = lk[b_pos]
         progressed = False
         for i in idxs:
             edits = choose_edits(totals[i], len(tpls[i]), min_gain, spacing)

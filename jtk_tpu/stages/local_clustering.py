@@ -149,30 +149,32 @@ def _expected_of_cols(template, cols, gains):
     return np.array(out)
 
 
-def filter_variants(template: np.ndarray, profiles: np.ndarray,
-                    strands: np.ndarray, gains: Gains, coverage: float,
-                    copy_num: int):
-    """Column filtering; returns selected column indices (into profiles)."""
-    R = profiles.shape[0]
-    t_len = len(template)
-    ncol = profiles.shape[1]
+def variant_exp_mat(template: np.ndarray, gains: Gains, Trows: int):
+    """(Trows, NUM_EDIT) homopolymer-conditioned expected-gain matrix — the
+    compression threshold grid (compress_small_gains, pseudo_mcmc.rs:141-165),
+    shared by the host filter and the on-device stats reduction."""
     homop = homopolymer_length(template)
-
-    prof = profiles.reshape(R, -1, NUM_EDIT).copy()
-    Trows = prof.shape[1]
-    from ..ops.modtable import COPY_SIZE, DEL_SIZE
     hp = np.zeros(Trows, np.int32)
-    hp[:t_len] = homop
-
-    # small-gain compression, conditioned on homopolymer length
-    # (compress_small_gains, pseudo_mcmc.rs:141-165)
+    hp[:len(template)] = homop
     hp_idx = np.clip(hp, 1, 3)
     exp_mat = np.zeros((Trows, NUM_EDIT), np.float32)
     for e in range(NUM_EDIT):
         dt = _difftype_of_edit(e)
         for L in (1, 2, 3):
             exp_mat[hp_idx == L, e] = gains.expected(L, dt)
-    prof[np.abs(prof) < 0.5 * exp_mat[None, :, :]] = 0.0
+    return exp_mat, hp, hp_idx
+
+
+def _variant_candidates(template: np.ndarray, R: int, counts, tot_gain, obs,
+                        both_strands: bool, gains: Gains, coverage: float,
+                        copy_num: int, exp_mat, hp, hp_idx):
+    """Candidate flat columns + scores from per-template VARIANT STATS:
+    counts/tot_gain (Trows, NUM_EDIT) over compressed profiles, and obs
+    (Trows, NUM_EDIT, 2, 2) strand/sign contingency tables.  Works from the
+    on-device reduction or from host profiles — no per-read data needed."""
+    t_len = len(template)
+    Trows = counts.shape[0]
+    from ..ops.modtable import COPY_SIZE, DEL_SIZE
 
     pos_mask = np.zeros((Trows, NUM_EDIT), bool)
     valid_j = np.arange(Trows)
@@ -192,10 +194,6 @@ def filter_variants(template: np.ndarray, profiles: np.ndarray,
         pos_mask[:, 4 + b] &= (prev_run <= MAX_HOMOP_LENGTH + 1) & \
                               (nxt_run <= MAX_HOMOP_LENGTH + 1)
 
-    pos = prof > POS_THR
-    counts = pos.sum(axis=0)                      # (Trows, NUM_EDIT)
-    tot_gain = np.where(pos, prof, 0.0).sum(axis=0)
-
     # binomial-tail p-values per (difftype, homopolymer length)
     pval_tab = {}
     for dt in ("sub", "del", "ins"):
@@ -205,7 +203,7 @@ def filter_variants(template: np.ndarray, profiles: np.ndarray,
     pvals = np.ones_like(tot_gain)
     for e in range(NUM_EDIT):
         dt = _difftype_of_edit(e)
-        cc = np.clip(counts[:, e], 0, R)
+        cc = np.clip(counts[:, e].astype(np.int64), 0, R)
         for L in (1, 2, 3):
             m = hp_idx == L
             pvals[m, e] = pval_tab[(dt, L)][cc[m]]
@@ -213,49 +211,37 @@ def filter_variants(template: np.ndarray, profiles: np.ndarray,
     keep = pos_mask & (counts * exp_col < tot_gain) & \
         (pvals < PVALUE / max(t_len, 1))
 
-    # strand-bias chi^2 (pseudo_mcmc.rs:314-339): biased columns dropped
-    if strands.any() and (~strands).any():
-        flat = prof.reshape(R, -1)
-        cand = np.nonzero(keep.reshape(-1))[0]
-        for ci in cand:
-            col = flat[:, ci]
-            nz = np.abs(col) > 1e-4
-            if nz.sum() == 0:
-                keep.reshape(-1)[ci] = False
-                continue
-            s = strands[nz].astype(int)
-            p = (col[nz] > 0).astype(int)
-            obs = np.zeros((2, 2))
-            np.add.at(obs, (s, p), 1)
-            strand_count = obs.sum(1)
-            sign_count = obs.sum(0)
-            tot = obs.sum()
-            expd = np.outer(strand_count, sign_count) / tot
-            with np.errstate(divide="ignore", invalid="ignore"):
-                chi = np.nansum((obs - expd) ** 2 / np.where(expd > 0, expd, np.nan))
-            if chi >= 10.0:
-                keep.reshape(-1)[ci] = False
+    # strand-bias chi^2 (pseudo_mcmc.rs:314-339), vectorized over columns
+    if both_strands:
+        nz_tot = obs.sum(axis=(-2, -1))                  # (Trows, NUM_EDIT)
+        strand_count = obs.sum(-1)                       # (.., 2)
+        sign_count = obs.sum(-2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            expd = strand_count[..., :, None] * sign_count[..., None, :] \
+                / np.maximum(nz_tot, 1e-9)[..., None, None]
+            chi = np.where(expd > 0, (obs - expd) ** 2 / expd, 0.0) \
+                .sum(axis=(-2, -1))
+        keep &= (nz_tot > 0) & (chi < 10.0)
 
-    # score candidates: max-Poisson count LK + total gain (filter_profiles)
     cand = np.nonzero(keep.reshape(-1))[0]
     if len(cand) == 0:
-        return np.zeros(0, np.int64)
+        return cand, np.zeros(0)
+    # score candidates: max-Poisson count LK + total gain (filter_profiles)
     from .util import max_poisson_lk
-    scores = []
     cflat = counts.reshape(-1)
     gflat = tot_gain.reshape(-1)
-    for ci in cand:
-        mlk = max_poisson_lk(int(cflat[ci]), coverage, 1, max(copy_num, 1))
-        scores.append(mlk + gflat[ci])
-    scores = np.array(scores)
+    scores = np.array([max_poisson_lk(int(cflat[ci]), coverage, 1,
+                                      max(copy_num, 1)) + gflat[ci]
+                       for ci in cand])
     ok = scores > 0
-    cand, scores = cand[ok], scores[ok]
-    if len(cand) == 0:
-        return np.zeros(0, np.int64)
+    return cand[ok], scores[ok]
 
-    # greedy diversity pick (pick_filtered_profiles :516-575)
-    flat = prof.reshape(R, -1)
-    sel_state = np.zeros(len(cand), np.int8)  # 0 open, 1 picked, 2 banned, 3 susp
+
+def _diversity_pick(cand, scores, comp_cols, copy_num: int):
+    """Greedy diversity pick over candidate columns; ``comp_cols`` is the
+    (R, n_cand) compressed profile block at the candidates
+    (pick_filtered_profiles :516-575).  Returns indices INTO cand."""
+    sel_state = np.zeros(len(cand), np.int8)  # 0 open, 1 picked, 2 ban, 3 susp
     for _ in range(ROUND):
         sel_state[sel_state == 3] = 0
         for _ in range(max(copy_num, 2)):
@@ -265,13 +251,13 @@ def filter_variants(template: np.ndarray, profiles: np.ndarray,
             pick = open_idx[np.argmax(scores[open_idx])]
             sel_state[pick] = 1
             pj = cand[pick] // NUM_EDIT
-            pcol = flat[:, cand[pick]]
+            pcol = comp_cols[:, pick]
             for oi in np.nonzero((sel_state == 0) | (sel_state == 3))[0]:
                 oj = cand[oi] // NUM_EDIT
                 if abs(int(oj) - int(pj)) < MASK_LENGTH:
                     sel_state[oi] = 2
                     continue
-                ocol = flat[:, cand[oi]]
+                ocol = comp_cols[:, oi]
                 nz = (np.abs(pcol) > POS_THR) & (np.abs(ocol) > POS_THR)
                 if nz.sum() == 0:
                     continue
@@ -281,7 +267,44 @@ def filter_variants(template: np.ndarray, profiles: np.ndarray,
                 sok = max(agree, 1 - agree)
                 if sok > 0.8 or cos > 0.8:
                     sel_state[oi] = 3
-    return cand[sel_state == 1]
+    return np.nonzero(sel_state == 1)[0]
+
+
+def _host_variant_stats(prof_comp, strands):
+    """counts/tot_gain/obs from host-resident compressed profiles (the scan
+    engine path) — same quantities the device reduction produces."""
+    pos = prof_comp > POS_THR
+    counts = pos.sum(axis=0).astype(np.float64)
+    tot_gain = np.where(pos, prof_comp, 0.0).sum(axis=0)
+    nz = np.abs(prof_comp) > 1e-4
+    sgn = prof_comp > 0
+    obs = np.zeros(counts.shape + (2, 2))
+    for s in (0, 1):
+        srow = (strands.astype(int) == s)[:, None, None]
+        for p in (0, 1):
+            obs[..., s, p] = (nz & srow & (sgn == bool(p))).sum(axis=0)
+    return counts, tot_gain, obs
+
+
+def filter_variants(template: np.ndarray, profiles: np.ndarray,
+                    strands: np.ndarray, gains: Gains, coverage: float,
+                    copy_num: int):
+    """Column filtering; returns selected column indices (into profiles)."""
+    R = profiles.shape[0]
+    prof = profiles.reshape(R, -1, NUM_EDIT)
+    Trows = prof.shape[1]
+    exp_mat, hp, hp_idx = variant_exp_mat(template, gains, Trows)
+    prof = np.where(np.abs(prof) < 0.5 * exp_mat[None, :, :], 0.0, prof)
+    counts, tot_gain, obs = _host_variant_stats(prof, strands)
+    both = bool(strands.any() and (~strands).any())
+    cand, scores = _variant_candidates(template, R, counts, tot_gain, obs,
+                                       both, gains, coverage, copy_num,
+                                       exp_mat, hp, hp_idx)
+    if len(cand) == 0:
+        return np.zeros(0, np.int64)
+    picked = _diversity_pick(cand, scores, prof.reshape(R, -1)[:, cand],
+                             copy_num)
+    return cand[picked]
 
 
 def _k_range(copy_num: int, n_variants: int):
@@ -557,6 +580,86 @@ def _batched_profiles(per_chunk, params_f, params_r, band, Tpad,
     return out
 
 
+def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
+                             gains, coverage, copy_nums):
+    """The Pallas production path from pileups to clustering features WITHOUT
+    transferring per-read modtables: one fused dispatch per slice reduces
+    variant stats on device; candidate selection runs on the host from the
+    stats; only the candidate COLUMNS of the (still device-resident) tables
+    cross the link.  Returns {cid: (cols, X (R, n_cols))}.
+
+    (The full per-read table block is (B, Tpad+1, NUM_EDIT) floats — tens of
+    MB per 192-pair slice on the tunneled link; the stats + gathered columns
+    are under a MB.)"""
+    from ..ops.modtable import modtable_pileup_stats_pallas
+    from ..ops.banded_align import linear_offsets
+    order = list(per_chunk)
+    pair_cid, pair_reads, pair_strand, pair_tpl, seg_ids = [], [], [], [], []
+    for pos_c, cid in enumerate(order):
+        reads, strands, template = per_chunk[cid]
+        for r, s in zip(reads, strands):
+            pair_cid.append(cid)
+            pair_reads.append(r)
+            pair_strand.append(bool(s))
+            pair_tpl.append(template)
+            seg_ids.append(pos_c)
+    if not pair_reads:
+        return {}
+    q_lens = np.array([len(r) for r in pair_reads], np.int32)
+    t_lens = np.array([len(t) for t in pair_tpl], np.int32)
+    Weff = max(band, ((band // 2 + int(np.max(t_lens - q_lens, initial=0))
+                       + 127) // 128) * 128)
+    Qpad = ((int(q_lens.max()) + 255) // 256) * 256
+    Bp = len(pair_reads)
+    qs = np.full((Bp, Qpad), 4, np.int8)
+    tpl_mat = np.full((Bp, Tpad), 4, np.int8)
+    for b, (r, t) in enumerate(zip(pair_reads, pair_tpl)):
+        qs[b, :len(r)] = r
+        tpl_mat[b, :len(t)] = t
+    offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Weff)
+                     for ql, tl in zip(q_lens, t_lens)])
+    exp_info = {cid: variant_exp_mat(per_chunk[cid][2], gains, Tpad + 1)
+                for cid in order}
+    exp_mats = np.stack([exp_info[cid][0] for cid in order])
+    _lks, stats, gather = modtable_pileup_stats_pallas(
+        qs, tpl_mat, offs, q_lens, t_lens, params_f, Weff, Tpad,
+        np.asarray(pair_strand, bool), params_r, np.asarray(seg_ids),
+        len(order), exp_mats)
+    cands = {}
+    for pos_c, cid in enumerate(order):
+        reads, strands, template = per_chunk[cid]
+        st = stats[pos_c]
+        counts, tot_gain = st[..., 0], st[..., 1]
+        obs = st[..., 2:6].reshape(st.shape[0], NUM_EDIT, 2, 2)
+        strands = np.asarray(strands, bool)
+        both = bool(strands.any() and (~strands).any())
+        exp_mat, hp, hp_idx = exp_info[cid]
+        cand, scores = _variant_candidates(
+            template, len(reads), counts, tot_gain, obs, both, gains,
+            coverage, copy_nums[cid], exp_mat, hp, hp_idx)
+        cands[cid] = (cand, scores)
+    union = sorted({int(c) for cand, _s in cands.values() for c in cand})
+    out = {}
+    if not union:
+        return {cid: (np.zeros(0, np.int64), None) for cid in order}
+    raw, comp = gather(np.array(union, np.int64))
+    colpos = {c: i for i, c in enumerate(union)}
+    pair_cid = np.asarray(pair_cid)
+    for cid in order:
+        cand, scores = cands[cid]
+        rows = np.nonzero(pair_cid == cid)[0]
+        if len(cand) == 0:
+            out[cid] = (np.zeros(0, np.int64), None)
+            continue
+        upos = np.array([colpos[int(c)] for c in cand])
+        picked = _diversity_pick(cand, scores, comp[rows][:, upos],
+                                 copy_nums[cid])
+        cols = cand[picked]
+        X = raw[rows][:, upos[picked]].astype(np.float32)
+        out[cid] = (cols, X)
+    return out
+
+
 def _batched_refresh_cigars(per_chunk, band, max_batch=512):
     """Banded global alignments of every (read, its-chunk-template) pair in
     one sweep: {cid: [cigar]}."""
@@ -655,11 +758,15 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
         chunks[cid].seq = seqmod.decode(np.asarray(tpl, np.int8)).decode()
         templates[cid] = np.asarray(tpl, np.int8)
     t_polish = time.time() - t0
+    logger.info("local_clustering: polish %.1fs (%d chunks)", t_polish,
+                len(order))
+    t0b = time.time()
     # 2. batched cigar refresh so node CIGARs (and every downstream error
     # model) stay in sync (reference: update_by_clusterings, mod.rs:244)
     per_chunk = {cid: (work[cid][1], work[cid][2], templates[cid])
                  for cid in order}
     refreshed = _batched_refresh_cigars(per_chunk, band)
+    logger.info("local_clustering: cigar refresh %.1fs", time.time() - t0b)
     for cid in order:
         for (ri, ni), cg in zip(work[cid][0], refreshed[cid]):
             ds.encoded_reads[ri].nodes[ni].cigar = cg
@@ -682,21 +789,35 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
             node.cluster = int(a)
             node.posterior = [float(x) for x in p]
         del per_chunk[cid]
-    # 3. batched per-read profiles for every remaining chunk
+    # 3. per-read profiles -> variant columns for every remaining chunk.
+    # Pallas path: stats reduce on device and only candidate columns
+    # transfer; scan path: full profiles on host + filter_variants.
     Tpad = ((max((len(t) for t in templates.values()), default=1) + 127)
             // 128) * 128
-    prof_by_chunk = _batched_profiles(per_chunk, params_f, params_r, band,
-                                      Tpad)
+    t0c = time.time()
+    from ..ops.modtable import use_pallas
+    if use_pallas():
+        colx = _variant_features_device(
+            per_chunk, params_f, params_r, band, Tpad, gains, coverage,
+            {cid: chunks[cid].copy_num for cid in per_chunk})
+    else:
+        prof_by_chunk = _batched_profiles(per_chunk, params_f, params_r,
+                                          band, Tpad)
+        colx = {}
+        for cid in per_chunk:
+            _lks, profs = prof_by_chunk[cid]
+            cols = filter_variants(templates[cid], profs, work[cid][2],
+                                   gains, coverage, chunks[cid].copy_num)
+            colx[cid] = (cols, profs[:, cols].astype(np.float32)
+                         if len(cols) else None)
     for cid in order:
         if cid not in per_chunk:
             continue
         chunk = chunks[cid]
         members, reads, strands = work[cid]
         template = templates[cid]
-        _lks, profs = prof_by_chunk[cid]
         # 4. variant columns
-        cols = filter_variants(template, profs, strands, gains, coverage,
-                               chunk.copy_num)
+        cols, X = colx[cid]
         if chunk.copy_num < 2 or len(cols) == 0 or \
                 len(reads) <= chunk.copy_num:
             chunk.cluster_num = 1
@@ -706,7 +827,6 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
                 node.cluster = 0
                 node.posterior = [0.0]
             continue
-        X = profs[:, cols].astype(np.float32)
         expected_per_col = _expected_of_cols(template, cols, gains)
         features[cid] = dict(X=X, copy_num=chunk.copy_num,
                              local_cov=len(reads) / max(chunk.copy_num, 1),
@@ -714,6 +834,9 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
         logger.debug("RECORD\t%d\t%.0f\t%.0f\t%d\t%d\t%d", cid,
                      (time.time() - t0) * 1e3, t_polish * 1e3,
                      len(template), len(cols), len(reads))
+    logger.info("local_clustering: profiles+variants %.1fs",
+                time.time() - t0c)
+    t0d = time.time()
     results = cluster_chunks_mcmc(features, coverage, seed,
                                   restarts=restarts,
                                   flips_per_read=flips_per_read)
@@ -725,5 +848,6 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
             node = ds.encoded_reads[ri].nodes[ni]
             node.cluster = int(a)
             node.posterior = [float(x) for x in p]
+    logger.info("local_clustering: mcmc %.1fs", time.time() - t0d)
     ds.push_stage("LocalClustering", [f"seed={seed}"])
     return ds

@@ -136,3 +136,26 @@ def test_pallas_modtable_strand_params():
         tp, ts = np.asarray(tab_p)[rows], np.asarray(tab_s)
         mask = ts > -1e29
         np.testing.assert_allclose(tp[mask], ts[mask], rtol=1e-4, atol=5e-2)
+
+
+def test_pallas_modtable_reduced_totals_match_host():
+    """seg_ids/n_seg: the on-device segment reduction must equal summing the
+    per-pair gain tables on the host (polish_many's transfer saver)."""
+    from jtk_tpu.ops.modtable import modification_table_pileup_pallas
+    rng = np.random.default_rng(11)
+    params = PHMMParams.from_hmmparam(HMMParam())
+    template, qs, offs, q_lens, W = _prep_batch(rng, n_reads=9)
+    tlen = len(template)
+    tpl = np.asarray(template, np.int8)
+    seg = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2], np.int32)
+    lk0, tab0 = modification_table_pileup_pallas(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, tlen,
+        interpret=True)
+    lk1, tot1 = modification_table_pileup_pallas(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, tlen,
+        interpret=True, seg_ids=seg, n_seg=3)
+    np.testing.assert_allclose(lk1, lk0, rtol=1e-6)
+    gain = np.where(tab0 < -1e29, np.float32(-1e30),
+                    tab0 - lk0[:, None, None])
+    want = np.stack([gain[seg == s].sum(0) for s in range(3)])
+    np.testing.assert_allclose(np.asarray(tot1), want, rtol=2e-4, atol=0.5)

@@ -75,7 +75,7 @@ def test_e2e_shared_repeat_resolved_by_foci(caplog):
     hap1, hap2, _snv = sim.shared_repeat_diploid(
         rng, flank=1800, repeat_len=900, mid=1800, n_snv=60)
     reads = sim.simulate_reads(rng, [hap1, hap2], coverage=20, mean_len=2600,
-                               error=0.05, min_len=1200)
+                               error=0.05, min_len=1200, clip_ends=True)
     ds = sim.reads_to_dataset(reads)
     mask_repeats(ds)
     select_chunks(ds, chunk_len=500, take_num=20, margin=100, seed=11,
