@@ -98,6 +98,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("assemble", help="assemble to GFA")
     sp.add_argument("--output", required=True)
+    sp.add_argument("--gfa2", action="store_true",
+                    help="emit GFA 2.0 (the reference's dialect)")
     sp.add_argument("--min_llr", type=float, default=1.0)
     sp.add_argument("--min_span", type=int, default=2)
     sp.add_argument("--no_polish", action="store_true")
@@ -213,7 +215,7 @@ def main(argv=None):
         _write_ds(ds)
     elif args.cmd == "assemble":
         from .stages.assemble import assemble
-        assemble(ds, out_path=args.output)
+        assemble(ds, out_path=args.output, gfa2=args.gfa2)
         _write_ds(ds)
     else:
         raise SystemExit(f"unknown subcommand {args.cmd}")

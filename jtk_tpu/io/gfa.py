@@ -40,6 +40,54 @@ def contigs_to_gfa(contigs, links=None, name_prefix: str = "tig") -> str:
     return "\n".join(lines) + "\n"
 
 
+def contigs_to_gfa2(contigs, links=None, name_prefix: str = "tig") -> str:
+    """GFA 2.0 emission — the reference's native dialect (assemble/
+    mod.rs:119-253): S lines carry the mandatory <len> column, links become
+    E lines with dovetail coordinates ($-terminated at segment ends), and
+    copy-number groups are real GFA2 U lines with uid ``cp:i:{cp}``."""
+    lines = ["H\tVN:Z:2.0"]
+    lens = []
+    for i, c in enumerate(contigs):
+        summary = c.get("summary", [])
+        occ = int(sum(s[3] for s in summary) / max(len(summary), 1)) \
+            if summary else 0
+        cp = int(round(sum(s[4] for s in summary) / max(len(summary), 1))) \
+            if summary else 0
+        lens.append(len(c["seq"]))
+        lines.append(
+            f"S\t{name_prefix}_{i:04d}\t{len(c['seq'])}\t{c['seq']}"
+            f"\tcv:i:{occ}\tcp:i:{cp}")
+
+    def dovetail(length: int, orient: str, is_source: bool, ov: int):
+        """Interval of the joined end: source '+' / sink '-' sit at the
+        segment END, else at the start.  Every coordinate equal to the
+        segment length carries the $ end-marker (GFA2 spec)."""
+        at_end = (orient == "+") == is_source
+        beg, end = (length - ov, length) if at_end else (0, ov)
+        mark = lambda p: f"{p}$" if p == length else str(p)
+        return f"{mark(beg)}\t{mark(end)}"
+
+    for li, link in enumerate(links or []):
+        i, oi, j, oj, occ = link[:5]
+        off = link[5] if len(link) > 5 else 0
+        ov = -off if off < 0 else 0
+        lines.append(
+            f"E\tedge_{li}\t{name_prefix}_{i:04d}{oi}"
+            f"\t{name_prefix}_{j:04d}{oj}"
+            f"\t{dovetail(lens[i], oi, True, ov)}"
+            f"\t{dovetail(lens[j], oj, False, ov)}"
+            f"\t{str(ov) + 'M' if ov else '*'}\tcv:i:{occ}")
+    by_cp: dict[int, list] = {}
+    for i, c in enumerate(contigs):
+        summary = c.get("summary", [])
+        cp = int(round(sum(s[4] for s in summary) / max(len(summary), 1))) \
+            if summary else 0
+        by_cp.setdefault(cp, []).append(f"{name_prefix}_{i:04d}")
+    for cp in sorted(by_cp):
+        lines.append(f"U\tcp:i:{cp}\t" + " ".join(by_cp[cp]))
+    return "\n".join(lines) + "\n"
+
+
 def parse_gfa(text: str, with_groups: bool = False):
     """Minimal GFA reader: returns (segments {name: seq, tags}, links[,
     groups {uid: [names]}])."""

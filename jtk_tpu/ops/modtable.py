@@ -450,6 +450,35 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
     else:
         B_slice = max(8, 1 << int(np.ceil(np.log2(max(B_all, 1)))))
     reduce = seg_ids is not None
+    from ..parallel import get_mesh
+    if reduce and get_mesh() is None and B_all > B_slice:
+        # single-dispatch path: every slice rides one lax.scan'd jit
+        from .pallas_phmm import _prep_tables_inputs
+        preps, segs, n_reals = [], [], []
+        Q = None
+        for s in range(0, B_all, B_slice):
+            e = min(B_all, s + B_slice)
+            pad = B_slice - (e - s)
+            sl = np.concatenate([np.arange(s, e), np.zeros(pad, np.int64)])
+            tpl_s = tpl if tpl.ndim == 1 else tpl[sl]
+            tl_s = t_len if np.ndim(t_len) == 0 else np.asarray(t_len)[sl]
+            st_s = None if strands is None else np.asarray(strands)[sl]
+            prep, B0, _Qp, Q, B = _prep_tables_inputs(
+                qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params,
+                ((int(W) + 127) // 128) * 128,
+                strands=st_s, params_rev=params_rev)
+            seg_p = np.full(B, n_seg, np.int32)
+            seg_p[:e - s] = np.asarray(seg_ids)[s:e]
+            preps.append(prep)
+            segs.append(seg_p)
+            n_reals.append(e - s)
+        stacked = {k: np.stack([p[k] for p in preps]) for k in preps[0]}
+        lks_s, tot = _fused_reduced_scan(
+            stacked, np.stack(segs), ((int(W) + 127) // 128) * 128, Q,
+            Tpad, interpret, n_seg)
+        lks_s = np.asarray(lks_s)
+        lk_out = np.concatenate([lks_s[i][:n] for i, n in enumerate(n_reals)])
+        return lk_out, np.asarray(tot, np.float64)
     lks, tabs = [], []
     totals = None
     for s in range(0, B_all, B_slice):
@@ -556,6 +585,44 @@ def _gather_prof_cols(tab, lk, seg, exp_mat, cols):
     return (prof.reshape(B, -1)[:, cols], comp.reshape(B, -1)[:, cols])
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("W", "Q", "Tpad", "interpret", "n_seg"))
+def _fused_reduced_scan(preps, segs, W: int, Q: int, Tpad: int,
+                        interpret: bool, n_seg: int):
+    """All MAXB slices in ONE dispatch: lax.scan over stacked slice preps,
+    accumulating the per-segment gain totals.  Kernel intermediates (the
+    O(B·Q·W) fwd/bwd tables) are live for one slice at a time, so the HBM
+    cap that forces MAXB still holds — but the tunnel RPC floor is paid
+    once instead of per slice."""
+    def body(carry, xs):
+        prep, seg = xs
+        lk, tab = _pallas_modtable_fused(prep, None, W, Q, Tpad, interpret)
+        lk2, tot = _gain_segments(lk, tab, seg, n_seg)
+        return carry + tot, lk2
+
+    tot0 = jnp.zeros((n_seg, Tpad + 1, NUM_EDIT), jnp.float32)
+    tot, lks = jax.lax.scan(body, tot0, (preps, segs))
+    return lks, tot
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "Q", "Tpad", "interpret", "n_seg"))
+def _fused_stats_scan(preps, segs, exp_mat, fwds, W: int, Q: int, Tpad: int,
+                      interpret: bool, n_seg: int):
+    """Scanned variant-stats: one dispatch for every slice; the per-slice
+    tabs are stacked (still device-resident) for the later column gather."""
+    def body(carry, xs):
+        prep, seg, fwd = xs
+        lk, st, tab = _pallas_modtable_fused_stats(prep, seg, exp_mat, fwd,
+                                                   W, Q, Tpad, interpret,
+                                                   n_seg)
+        return carry + st, (lk, tab)
+
+    st0 = jnp.zeros((n_seg, Tpad + 1, NUM_EDIT, 6), jnp.float32)
+    stats, (lks, tabs) = jax.lax.scan(body, st0, (preps, segs, fwds))
+    return lks, stats, tabs
+
+
 @functools.lru_cache(maxsize=32)
 def _fused_sharded_reduced_fn(mesh_key, W: int, Q: int, Tpad: int,
                               interpret: bool, ranks, n_seg: int):
@@ -635,7 +702,8 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
     exp_pad = np.concatenate(  # +1 dump row for padding pairs
         [np.asarray(exp_mat, np.float32),
          np.zeros((1,) + np.shape(exp_mat)[1:], np.float32)])
-    lks, stats, handles = [], None, []
+    preps, segs, fwds, n_reals = [], [], [], []
+    Q = None
     for s in range(0, B_all, B_slice):
         e = min(B_all, s + B_slice)
         pad = B_slice - (e - s)
@@ -652,25 +720,42 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
         fwd_p = np.ones(B, np.float32)
         if st_s is not None:
             fwd_p[:B0] = np.asarray(st_s, bool).astype(np.float32)
+        preps.append(prep)
+        segs.append(seg_p)
+        fwds.append(fwd_p)
+        n_reals.append(e - s)
+    if len(preps) == 1:
         lk, st_out, tab = _pallas_modtable_fused_stats(
-            prep, seg_p, exp_pad, fwd_p, W, Q, Tpad, interpret, n_seg)
-        lks.append(np.asarray(lk)[:e - s])
-        t = np.asarray(st_out, np.float64)
-        stats = t if stats is None else stats + t
-        handles.append((tab, lk, seg_p, e - s))
+            preps[0], segs[0], exp_pad, fwds[0], W, Q, Tpad, interpret,
+            n_seg)
+        lks = np.asarray(lk)[:n_reals[0]]
+        stats = np.asarray(st_out, np.float64)
+        tabs, lk_d, seg_d = tab[None], lk[None], segs[0][None]
+    else:
+        stacked = {k: np.stack([p[k] for p in preps]) for k in preps[0]}
+        lk_d, st_out, tabs = _fused_stats_scan(
+            stacked, np.stack(segs), exp_pad, np.stack(fwds), W, Q, Tpad,
+            interpret, n_seg)
+        lks_s = np.asarray(lk_d)
+        lks = np.concatenate([lks_s[i][:n] for i, n in enumerate(n_reals)])
+        stats = np.asarray(st_out, np.float64)
+        seg_d = np.stack(segs)
+    Bs = preps[0]["q_lens_p"].shape[0]
 
     def gather(flat_cols):
         cols = np.asarray(flat_cols, np.int64)
         U = ((len(cols) + 127) // 128) * 128
         cols_p = np.concatenate([cols, np.zeros(U - len(cols), np.int64)])
-        raws, comps = [], []
-        for tab, lk, seg_p, n_real in handles:
-            r, c = _gather_prof_cols(tab, lk, seg_p, exp_pad, cols_p)
-            raws.append(np.asarray(r)[:n_real, :len(cols)])
-            comps.append(np.asarray(c)[:n_real, :len(cols)])
-        return np.concatenate(raws), np.concatenate(comps)
+        r, c = _gather_prof_cols(
+            jnp.reshape(tabs, (-1,) + tuple(tabs.shape[2:])),
+            jnp.reshape(lk_d, (-1,)),
+            np.reshape(seg_d, -1), exp_pad, cols_p)
+        r, c = np.asarray(r), np.asarray(c)
+        rows = np.concatenate([i * Bs + np.arange(n)
+                               for i, n in enumerate(n_reals)])
+        return r[rows][:, :len(cols)], c[rows][:, :len(cols)]
 
-    return np.concatenate(lks), stats, gather
+    return lks, stats, gather
 
 
 def _pileup_pallas_exact(qs, tpl, offs, q_lens, t_len, params, W, Tpad,

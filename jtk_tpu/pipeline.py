@@ -45,6 +45,7 @@ class PipelineConfig:
     min_span: int = 2
     min_llr: float = 1.0
     resume: bool = False
+    gfa2: bool = False
     supress_ari: float = 0.4
     match_ari: float = 4.0
     mismatch_ari: float = -1.0
@@ -167,5 +168,6 @@ def run_pipeline(config: PipelineConfig) -> str:
     out_gfa = f"{stem}.gfa"
     assemble(ds, out_path=out_gfa, to_polish=config.to_polish,
              window_size=config.polish_window_size, seed=config.seed,
-             dump_prefix=stem if config.to_polish else None)
+             dump_prefix=stem if config.to_polish else None,
+             gfa2=config.gfa2)
     return out_gfa

@@ -110,7 +110,7 @@ def contig_links(g: DitchGraph, contigs):
 def assemble(ds: DataSet, out_path: str | None = None,
              lightweight_frac: float = 0.15, to_polish: bool = True,
              window_size: int = 2000, seed: int = 42,
-             dump_prefix: str | None = None) -> str:
+             dump_prefix: str | None = None, gfa2: bool = False) -> str:
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     g = build_graph(ds, lightweight_frac)
     clean_up_graph_for_assemble(g, cov, ds.encoded_reads)
@@ -128,7 +128,11 @@ def assemble(ds: DataSet, out_path: str | None = None,
         from .consensus import dump_coverage, dump_sam
         dump_coverage(ds, contigs, f"{dump_prefix}.coverage.tsv")
         dump_sam(ds, contigs, f"{dump_prefix}.sam")
-    gfa = contigs_to_gfa(contigs, links)
+    if gfa2:
+        from ..io.gfa import contigs_to_gfa2
+        gfa = contigs_to_gfa2(contigs, links)
+    else:
+        gfa = contigs_to_gfa(contigs, links)
     if out_path:
         with open(out_path, "w") as f:
             f.write(gfa)
