@@ -103,6 +103,8 @@ def emit(result: dict):
         "cpu_baseline_reads_per_s": result.get("cpu_baseline_reads_per_s"),
         "chunks_phased_per_s": result.get("chunks_phased_per_s"),
         "nodes": result.get("nodes"),
+        "warmup_encode_s": result.get("warmup_encode_s"),
+        "warmup_cluster_s": result.get("warmup_cluster_s"),
         "backend": result.get("backend"),
         "error": result.get("error"),
     }
@@ -167,7 +169,8 @@ def run_bench(result: dict, backend: str):
     warm = copy.deepcopy(ds)
     t0 = time.time()
     encode(warm)
-    print(f"warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    result["warmup_encode_s"] = round(time.time() - t0, 1)
+    print(f"warmup(compile): {result['warmup_encode_s']}s", file=sys.stderr)
 
     profile_dir = None
     if os.environ.get("JTK_BENCH_PROFILE"):
@@ -200,7 +203,8 @@ def run_bench(result: dict, backend: str):
     t0 = time.time()
     local_clustering(warm2, flips_per_read=600, restarts=8,
                      selection=subset)
-    print(f"cluster warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    result["warmup_cluster_s"] = round(time.time() - t0, 1)
+    print(f"cluster warmup: {result['warmup_cluster_s']}s", file=sys.stderr)
     t0 = time.time()
     local_clustering(ds, flips_per_read=600, restarts=8,
                      selection=subset)

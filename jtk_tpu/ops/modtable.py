@@ -163,11 +163,35 @@ def modification_table_from_tables(q, offsets, q_len, t_len,
     em_q = em_q5[:, :4]
 
     valid = (jc >= 0) & (jc <= t_len)
-    seg = jnp.where(valid, jc, Tpad + 1).astype(jnp.int32).reshape(-1)
-    nseg = Tpad + 2
+
+    # Band-to-column reduction WITHOUT scatters (segment_sum lowers to
+    # scatter-adds that serialize on TPU — they were ~90% of the fused
+    # dispatch time).  Exploit the band structure: offsets are monotone
+    # with unit increments, so rows sharing an offset are CONTIGUOUS:
+    #   G[o, k] = sum_{i: offsets[i]=o} x[i, k]   (cumsum + boundary gather)
+    #   out[j]  = sum_k G[j-k, k]                 (W static shifted adds)
+    _pending_terms: list = []
 
     def colsum(x):
-        return jax.ops.segment_sum(x.reshape(-1), seg, num_segments=nseg)[:Tpad + 1]
+        # deferred: all terms flush through ONE cumsum/gather pass
+        _pending_terms.append(x)
+        return len(_pending_terms) - 1
+
+    def _flush_colsums():
+        T = len(_pending_terms)
+        x = jnp.stack(_pending_terms, axis=-1)          # (Q+1, W, T)
+        x = jnp.where(valid[..., None], x, 0.0)
+        C = jnp.cumsum(x, axis=0)                       # (Q+1, W, T)
+        Cz = jnp.concatenate([jnp.zeros_like(C[:1]), C], axis=0)
+        o_vals = jnp.arange(Tpad + 1)
+        hi = jnp.searchsorted(offsets, o_vals, side="right")   # last+1
+        lo = jnp.searchsorted(offsets, o_vals, side="left")    # first
+        G = Cz[hi] - Cz[lo]                             # (Tpad+1, W, T)
+        out = jnp.zeros((Tpad + 1, T), jnp.float32)
+        for k in range(W):
+            out = out + jnp.pad(G[:, k, :],
+                                ((k, 0), (0, 0)))[:Tpad + 1]
+        return [out[:, t] for t in range(T)]
 
     # --- substitutions: for each base b ---
     AbM = A * bM * cA            # (Q+1, W) without the emission factor
@@ -177,10 +201,7 @@ def modification_table_from_tables(q, offsets, q_len, t_len,
         term = em_q[:, b:b + 1] * AbM
         sub_cols.append(colsum(term))
     sub_base = colsum(fDbD_B)
-    # sub table at position j corresponds to jc = j+1 -> shift by one
-    sub_tab = jnp.stack(sub_cols, axis=1) + sub_base[:, None]      # (Tpad+1, 4) by jc
-    sub_tab = sub_tab[1:, :]                                       # index by j
-    sub_tab = jnp.concatenate([sub_tab, np.zeros((1, 4), np.float32)], axis=0)
+    # (table construction deferred until every colsum term is registered)
 
     # --- deletions of t[j..j+d], d = 1..DEL_SIZE (jc = j+1) ---
     def em_of(rc_codes):
@@ -197,9 +218,7 @@ def modification_table_from_tables(q, offsets, q_len, t_len,
         rc_d = _shl2(rc_d, fill=4)       # r[jc+d-1] (char after the block)
         em_d = em_of(rc_d)
         term = em_d * A * bM_d * cA + Dnew * bD_d * cB
-        col = colsum(term)               # by jc
-        tab_d = jnp.concatenate([col[1:], np.zeros((1,), np.float32)])
-        del_tabs.append(tab_d)
+        del_tabs.append(colsum(term))    # by jc (handle; resolved at flush)
         # deleting a block that ends the template (j + d == t_len):
         # LK = f-sum at (q_len, t_len - d)
         k_last = jnp.clip(t_len - d - offsets[q_len], 0, W - 1)
@@ -213,7 +232,6 @@ def modification_table_from_tables(q, offsets, q_len, t_len,
         term = em_q[:, b:b + 1] * Anext * bM * cA + 0.0
         ins_cols.append(colsum(term))
     ins_base = colsum(DnB)
-    ins_tab = jnp.stack(ins_cols, axis=1) + ins_base[:, None]      # by jc == j
 
     # --- copies of t[j..j+c], c = 1..COPY_SIZE (tandem dup; anchored at
     # column J = j+c, i.e. segment inserted after column J) ---
@@ -259,13 +277,23 @@ def modification_table_from_tables(q, offsets, q_len, t_len,
             term = term + tab * bM * cU[u]
         for u, tab in Db.items():
             term = term + tab * bD * cU[u]
-        col = colsum(term)               # by jc = J = j + c
-        tab_c = jnp.concatenate(
-            [col[c:], np.zeros((c,), np.float32)])   # index by j
-        copy_tabs.append(tab_c)
+        copy_tabs.append(colsum(term))   # by jc = J = j + c
 
+    cols = _flush_colsums()
+    # sub table at position j corresponds to jc = j+1 -> shift by one
+    sub_tab = jnp.stack([cols[h] for h in sub_cols], axis=1) \
+        + cols[sub_base][:, None]
+    sub_tab = jnp.concatenate([sub_tab[1:, :],
+                               np.zeros((1, 4), np.float32)], axis=0)
+    ins_tab = jnp.stack([cols[h] for h in ins_cols], axis=1) \
+        + cols[ins_base][:, None]                     # by jc == j
+    del_arrs = [jnp.concatenate([cols[h][1:], np.zeros((1,), np.float32)])
+                for h in del_tabs]
+    copy_arrs = [jnp.concatenate([cols[h][c + 1:],
+                                  np.zeros((c + 1,), np.float32)])
+                 for c, h in enumerate(copy_tabs)]
     table = jnp.concatenate(
-        [sub_tab, ins_tab, jnp.stack(copy_tabs, 1), jnp.stack(del_tabs, 1)],
+        [sub_tab, ins_tab, jnp.stack(copy_arrs, 1), jnp.stack(del_arrs, 1)],
         axis=1)
     ltable = jnp.log(jnp.maximum(table, EPS)) + lk
     pos = np.arange(Tpad + 1)

@@ -99,6 +99,8 @@ def run_pipeline(config: PipelineConfig) -> str:
     region = parse_si(config.region_size)
     take_num = 3 * region // config.chunk_len // 2
 
+    timings: dict = {}
+
     def phase(name, fn, ds):
         path = paths[name]
         if config.resume and os.path.exists(path):
@@ -107,8 +109,16 @@ def run_pipeline(config: PipelineConfig) -> str:
         t0 = time.time()
         ds = fn(ds)
         ds.dump(path)
-        logger.info("phase %s: %.1fs", name, time.time() - t0)
+        timings[name] = time.time() - t0
+        logger.info("phase %s: %.1fs", name, timings[name])
         return ds
+
+    def dump_timings():
+        # per-stage wall-clock TSV (SURVEY §5.1: grep-able timing record)
+        with open(f"{stem}.timings.tsv", "w") as f:
+            f.write("phase\tseconds\n")
+            for k, v in timings.items():
+                f.write(f"{k}\t{v:.1f}\n")
 
     # --- entry ---
     if config.resume and os.path.exists(paths["entry"]):
@@ -166,8 +176,11 @@ def run_pipeline(config: PipelineConfig) -> str:
 
     # --- assemble ---
     out_gfa = f"{stem}.gfa"
+    t0 = time.time()
     assemble(ds, out_path=out_gfa, to_polish=config.to_polish,
              window_size=config.polish_window_size, seed=config.seed,
              dump_prefix=stem if config.to_polish else None,
              gfa2=config.gfa2)
+    timings["assemble"] = time.time() - t0
+    dump_timings()
     return out_gfa

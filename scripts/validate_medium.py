@@ -31,7 +31,7 @@ def main():
     cov = float(sys.argv[2]) if len(sys.argv) > 2 else 30
     hap1, hap2 = sim.diploid(rng, L, het=0.004)
     reads = sim.simulate_reads(rng, [hap1, hap2], coverage=cov,
-                               mean_len=15_000, error=0.05)
+                               mean_len=15_000, error=0.05, clip_ends=True)
     out = "/tmp/validate_medium"
     os.makedirs(out, exist_ok=True)
     fa = f"{out}/reads.fa"
@@ -44,6 +44,16 @@ def main():
     t0 = time.time()
     gfa_path = run_pipeline(cfg)
     wall = time.time() - t0
+    import resource
+    peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    stage_s = {}
+    try:
+        for line in open(f"{out}/v.timings.tsv"):
+            k, v = line.rstrip("\n").split("\t")
+            if k != "phase":
+                stage_s[k] = float(v)
+    except FileNotFoundError:
+        pass
     m = assembly_metrics(open(gfa_path).read(), [hap1, hap2])
     # phasing ARI per chunk
     from jtk_tpu.datamodel import DataSet
@@ -59,16 +69,22 @@ def main():
                     asn.append(n.cluster)
                     truth.append(reads[er.id]["hap"])
         aris.append(adjusted_rand_index(truth, asn))
-    print(json.dumps({
+    rec = {
         "region": L, "coverage": cov, "n_reads": len(reads),
         "wall_s": round(wall, 1),
+        "stage_s": stage_s,
+        "peak_rss_mb": round(peak_rss_mb, 1),
         "phased_chunks": len(aris),
         "total_chunks": len(ds.selected_chunks),
         "mean_phasing_ari": round(float(np.mean(aris)), 3) if aris else None,
         "contigs": len(m["contigs"]),
         "assembly_len": m["total_len"],
         "mean_contig_error": round(m["mean_error"], 5),
-    }))
+    }
+    print(json.dumps(rec))
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(rec, f)
 
 
 if __name__ == "__main__":
