@@ -179,18 +179,32 @@ def modification_table_from_tables(q, offsets, q_len, t_len,
 
     def _flush_colsums():
         T = len(_pending_terms)
-        x = jnp.stack(_pending_terms, axis=-1)          # (Q+1, W, T)
-        x = jnp.where(valid[..., None], x, 0.0)
-        C = jnp.cumsum(x, axis=0)                       # (Q+1, W, T)
-        Cz = jnp.concatenate([jnp.zeros_like(C[:1]), C], axis=0)
         o_vals = jnp.arange(Tpad + 1)
         hi = jnp.searchsorted(offsets, o_vals, side="right")   # last+1
         lo = jnp.searchsorted(offsets, o_vals, side="left")    # first
-        G = Cz[hi] - Cz[lo]                             # (Tpad+1, W, T)
-        out = jnp.zeros((Tpad + 1, T), jnp.float32)
-        for k in range(W):
-            out = out + jnp.pad(G[:, k, :],
-                                ((k, 0), (0, 0)))[:Tpad + 1]
+        # term-axis grouping bounds the (Tpad+1, W, Tc) gather temps: the
+        # vmapped batch keeps ~3 live copies, so cap a group's gather at
+        # ~10 MB per pair (a 192-pair slice then peaks at ~6 GB)
+        per_term = (Tpad + 1) * W * 4
+        Tc = max(1, min(T, int(10e6) // per_term))
+        outs = []
+        for g0 in range(0, T, Tc):
+            x = jnp.stack(_pending_terms[g0:g0 + Tc], axis=-1)
+            x = jnp.where(valid[..., None], x, 0.0)
+            C = jnp.cumsum(x, axis=0)                   # (Q+1, W, Tc)
+            Cz = jnp.concatenate([jnp.zeros_like(C[:1]), C], axis=0)
+            G = Cz[hi] - Cz[lo]                         # (Tpad+1, W, Tc)
+            # D[j] = sum_k G[j-k, k]: log2(W) doubling levels — each merges
+            # adjacent k-blocks with a row shift of the block width
+            H, shift = G, 1
+            while H.shape[1] > 1:
+                if H.shape[1] % 2:
+                    H = jnp.pad(H, ((0, 0), (0, 1), (0, 0)))
+                odd = jnp.pad(H[:, 1::2], ((shift, 0), (0, 0), (0, 0)))
+                H = H[:, 0::2] + odd[:Tpad + 1]
+                shift *= 2
+            outs.append(H[:, 0])
+        out = jnp.concatenate(outs, axis=1)
         return [out[:, t] for t in range(T)]
 
     # --- substitutions: for each base b ---
