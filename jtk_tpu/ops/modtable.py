@@ -482,12 +482,13 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
     q_lens = np.asarray(q_lens, np.int32)
     B_all = qs.shape[0]
     # cap the fused batch: the tables + assembly intermediates are
-    # O(B * Q * W) in HBM
-    MAXB = 192
+    # O(B * Q * W) in HBM, so the cap scales inversely with the band
+    # (192 pairs fit at W<=256; W=384 OOMed — use 128 there)
+    MAXB = max(16, min(192, (192 * 256 // W) // 8 * 8))
     # fixed-size slices, tail padded by repeating row 0: batch sizes land in
     # a handful of compiled shapes {8,16,32,64,128,MAXB} regardless of the
     # pileup (recompiles cost ~a minute on the tunneled TPU)
-    if B_all > 128:
+    if B_all > MAXB * 2 // 3:
         B_slice = MAXB
     else:
         B_slice = max(8, 1 << int(np.ceil(np.log2(max(B_all, 1)))))
@@ -736,8 +737,8 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
     q_lens = np.asarray(q_lens, np.int32)
     seg_ids = np.asarray(seg_ids, np.int64)
     B_all = qs.shape[0]
-    MAXB = 192
-    if B_all > 128:
+    MAXB = max(16, min(192, (192 * 256 // W) // 8 * 8))
+    if B_all > MAXB * 2 // 3:
         B_slice = MAXB
     else:
         B_slice = max(8, 1 << int(np.ceil(np.log2(max(B_all, 1)))))
