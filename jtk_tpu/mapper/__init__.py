@@ -330,7 +330,11 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     # floor, but padding rows cost compute + transfer, so the candidate set
     # is decomposed greedily — largest bucket that fits, then the smallest
     # bucket covering the tail (e.g. 4311 -> 4096 + 512)
+    # traceback storage is O(B * Qpad * W * 3 bytes) in HBM (ptrs uint8 +
+    # run lengths uint16): cap the largest bucket so it stays under ~8.5 GB
+    cap = max(512, int(8.5e9) // (Qpad * W * 3) // 512 * 512)
     buckets = sorted({max(batch // 4, 128), batch, 2 * batch, 4 * batch})
+    buckets = [b for b in buckets if b <= cap] or [cap]
     s = 0
     while s < len(cands):
         rem = len(cands) - s

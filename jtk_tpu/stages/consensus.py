@@ -143,6 +143,54 @@ def _stitch(a: np.ndarray, b: np.ndarray, ov: int):
     return np.concatenate([a[:cut_a], b]), cut_a
 
 
+def trim_segments_multi(jobs: list, margin: int, max_err: float = 0.4,
+                        batch: int = 2048):
+    """Batched read-splitting across MANY windows: ``jobs`` is a list of
+    (template, segs) pairs; every (window-template, segment) alignment rides
+    a few fixed-shape infix dispatches instead of one per window
+    (consensus/mod.rs:620-707 is rayon-per-window; at 1 Mb+ scale the
+    per-window dispatch count was the consensus bottleneck).
+
+    Returns, per job, the list of (trimmed_seg, original_index)."""
+    from ..ops.banded_align import align_with_cigar_batch, diagonal_offsets
+    flat = []  # (job_idx, seg_idx, template, seg)
+    for ji, (template, segs) in enumerate(jobs):
+        for si, s in enumerate(segs):
+            flat.append((ji, si, np.asarray(template, np.int8), s))
+    out = [[] for _ in jobs]
+    if not flat:
+        return out
+    Q = ((max(len(t) for _ji, _si, t, _s in flat) + 63) // 64) * 64
+    Tpad = ((max(len(s) for _ji, _si, _t, s in flat) + 63) // 64) * 64
+    W = ((2 * margin + Q // 8 + 127) // 128) * 128
+    for s0 in range(0, len(flat), batch):
+        grp = flat[s0:s0 + batch]
+        B = len(grp)
+        qs = np.full((B, Q), 4, np.int8)
+        rs = np.full((B, Tpad), 4, np.int8)
+        q_lens = np.zeros(B, np.int32)
+        t_lens = np.zeros(B, np.int32)
+        offs = np.zeros((B, Q + 1), np.int32)
+        for b, (_ji, _si, t, s) in enumerate(grp):
+            qs[b, :len(t)] = t
+            q_lens[b] = len(t)
+            rs[b, :len(s)] = s
+            t_lens[b] = len(s)
+            diag = max((len(s) - len(t)) // 2, 0)
+            offs[b] = diagonal_offsets(len(t), diag, len(s), Q, W)
+        res = align_with_cigar_batch(qs, rs, offs, q_lens, t_lens, W,
+                                     "infix")
+        for b, (ji, si, t, s) in enumerate(grp):
+            d = int(res["score"][b])
+            if d > max_err * len(t):
+                continue
+            lo, hi = int(res["start_j"][b]), int(res["end_j"][b])
+            if hi - lo < len(t) // 2:
+                continue
+            out[ji].append((s[lo:hi], si))
+    return out
+
+
 def trim_segments(template: np.ndarray, segs: list, margin: int,
                   max_err: float = 0.4, return_index: bool = False):
     """Cut each (longer) segment to exactly the template's span via one
@@ -361,30 +409,88 @@ def _terminal_shrink(spans, ext0, ext1, w0, w1, n_win, wi, min_cov):
     return ext0, ext1
 
 
+def _stitch_cuts_batch(parts: list, overlap: int):
+    """Pairwise boundary cuts for consecutive polished windows: for each
+    boundary, locate part i+1's head inside part i's tail by ONE batched
+    infix alignment (the sequential _stitch paid a device call per
+    boundary).  Returns (tail_cut per part, head_chop per part)."""
+    from ..ops.banded_align import align_with_cigar_batch, diagonal_offsets
+    n = len(parts)
+    tail_cut = [len(p) for p in parts]
+    head_chop = [0] * n
+    ov = 2 * overlap
+    jobs = []  # (boundary index, head, tail)
+    for i in range(n - 1):
+        a, b = parts[i], parts[i + 1]
+        head = b[:min(ov, len(b))]
+        tail = a[-min(2 * ov, len(a)):]
+        if len(head) < 8 or len(tail) < 16 or len(tail) - len(head) < 1:
+            head_chop[i + 1] = min(ov, len(b))
+            continue
+        jobs.append((i, head, tail))
+    if jobs:
+        Q = ((max(len(h) for _i, h, _t in jobs) + 63) // 64) * 64
+        Tp = ((max(len(t) for _i, _h, t in jobs) + 63) // 64) * 64
+        W = 128
+        B = len(jobs)
+        qs = np.full((B, Q), 4, np.int8)
+        rs = np.full((B, Tp), 4, np.int8)
+        q_lens = np.zeros(B, np.int32)
+        t_lens = np.zeros(B, np.int32)
+        offs = np.zeros((B, Q + 1), np.int32)
+        ok = np.ones(B, bool)
+        for b, (_i, h, t) in enumerate(jobs):
+            qs[b, :len(h)] = h
+            rs[b, :len(t)] = t
+            q_lens[b], t_lens[b] = len(h), len(t)
+            try:
+                offs[b] = diagonal_offsets(len(h), max(len(t) - ov, 0),
+                                           len(t), Q, W)
+            except AssertionError:
+                ok[b] = False
+        res = align_with_cigar_batch(qs, rs, offs, q_lens, t_lens, W,
+                                     "infix")
+        for b, (i, h, t) in enumerate(jobs):
+            if not ok[b]:
+                head_chop[i + 1] = len(h)
+                continue
+            rs_j = int(res["start_j"][b])
+            tail_cut[i] = len(parts[i]) - len(t) + rs_j
+    return tail_cut, head_chop
+
+
 def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                    overlap: int = 100, margin: int = 150, cap: int = 30,
-                   min_cov: int = 4, rounds: int = 3, seed: int = 42) -> list:
+                   min_cov: int = 4, rounds: int = 3, seed: int = 42,
+                   polish_group: int = 400) -> list:
     """Polish contig dicts in place (seq replaced); returns the contigs.
 
-    Three rounds by default (consensus/mod.rs:300); each window pileup is
-    polished under the strand-specific HMM pair, and tiles are remapped
-    through the per-window coordinate changes between rounds."""
+    Three rounds by default (consensus/mod.rs:300).  EVERY window across
+    every contig is gathered per round: segment trimming, the strand-specific
+    HMM polish (polish_many) and the boundary stitches each ride a handful of
+    batched dispatches — the reference rayon-parallelizes per window
+    (consensus/mod.rs:316-331); per-window device calls would be the
+    bottleneck at COX_PGF scale (thousands of windows)."""
+    from ..ops.polish import polish_many
     params_f = PHMMParams.from_hmmparam(ds.model_param.forward)
     params_r = PHMMParams.from_hmmparam(ds.model_param.reverse)
     read_codes = [seqmod.encode(er.recover_raw_read())
                   for er in ds.encoded_reads]
     rng = np.random.default_rng(seed)
+    cseqs = {}
     for _round in range(rounds):
         per_contig = _read_anchors(ds, contigs)
         any_change = False
+        # ---- 1. gather every window of every contig (host) ----
+        win_jobs = []
         for ci, contig in enumerate(contigs):
             cseq = seqmod.encode(contig["seq"])
+            cseqs[ci] = cseq
             if len(cseq) < 100:
                 continue
             aligns = per_contig.get(ci, [])
             if not aligns:
                 continue
-            polished_parts = []
             n_win = max((len(cseq) + window - 1) // window, 1)
             spans = [(min(a[2] for a in chain), max(a[3] for a in chain))
                      for _ri, _sign, chain in aligns]
@@ -393,8 +499,8 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                 w1 = min(w0 + window, len(cseq))
                 ext0 = max(w0 - overlap, 0)
                 ext1 = min(w1 + overlap, len(cseq))
-                # terminal windows: polish only the min_cov-covered subrange
-                # and keep the uncovered flanks raw
+                # terminal windows: polish only the min_cov-covered
+                # subrange and keep the uncovered flanks raw
                 s0, s1 = _terminal_shrink(
                     [s for s in spans if s[1] > ext0 and s[0] < ext1],
                     ext0, ext1, w0, w1, n_win, wi, min_cov)
@@ -403,7 +509,6 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                 for (ri, sign, chain), (cs0, ce1) in zip(aligns, spans):
                     if ce1 <= s0 or cs0 >= s1:
                         continue
-                    # only reads covering the whole window give good templates
                     if cs0 > s0 + 50 or ce1 < s1 - 50:
                         continue
                     seg = _window_segment(read_codes[ri], sign, chain,
@@ -415,44 +520,66 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                     idx = rng.permutation(len(segs))[:cap]
                     segs = [segs[i] for i in idx]
                     strands = [strands[i] for i in idx]
-                kept = trim_segments(template, segs, margin,
-                                     return_index=True)
-                segs = [s for s, _i in kept]
-                strands = [strands[i] for _s, i in kept]
-                if len(segs) >= min_cov:
-                    band = max(ReadType.band_width(ds.read_type,
-                                                   len(template)), 64)
-                    band = ((band + 127) // 128) * 128
-                    template, _ = polish_until_converge(
-                        template, segs, params_f, W=band, max_rounds=6,
-                        strands=np.array(strands), params_rev=params_r)
-                if s0 > ext0:
-                    template = np.concatenate([cseq[ext0:s0], template])
-                if s1 < ext1:
-                    template = np.concatenate([template, cseq[s1:ext1]])
-                polished_parts.append((ext0, w0, w1, ext1, template))
-            # stitch neighbouring windows (they overlap by ~2*overlap bp)
-            out = None
-            old_starts, new_starts = [], []
-            for (ext0, w0, w1, ext1, tpl) in polished_parts:
-                if out is None:
-                    out = tpl
-                    old_starts.append(ext0)
-                    new_starts.append(0)
-                    continue
-                out, cut = _stitch(out, tpl, 2 * overlap)
-                old_starts.append(ext0)
-                new_starts.append(cut)
-            if out is not None:
-                new_seq = seqmod.decode(out).decode()
-                if new_seq != contig["seq"]:
-                    any_change = True
-                for t in contig.get("tiles", []):
-                    t["_old_start"], t["_old_end"] = t["start"], t["end"]
-                _remap_tiles(contig, old_starts, new_starts,
-                             len(cseq), len(out))
-                _reanchor_tiles(contig, cseq, out)
-                contig["seq"] = new_seq
+                win_jobs.append(dict(ci=ci, ext0=ext0, ext1=ext1,
+                                     s0=s0, s1=s1, template=template,
+                                     segs=segs, strands=strands))
+        if not win_jobs:
+            break
+        # ---- 2. batched segment trimming across all windows ----
+        kept = trim_segments_multi(
+            [(j["template"], j["segs"]) for j in win_jobs], margin)
+        for j, kp in zip(win_jobs, kept):
+            j["segs"] = [s for s, _i in kp]
+            j["strands"] = [j["strands"][i] for _s, i in kp]
+        # ---- 3. batched polish (grouped to bound host-side prep) ----
+        poll = [j for j in win_jobs if len(j["segs"]) >= min_cov]
+        if poll:
+            band = max(ReadType.band_width(
+                ds.read_type, max(len(j["template"]) for j in poll)), 64)
+            band = ((band + 127) // 128) * 128
+            for g0 in range(0, len(poll), polish_group):
+                grp = poll[g0:g0 + polish_group]
+                tpls, _ = polish_many(
+                    [j["template"] for j in grp],
+                    [j["segs"] for j in grp], params_f, W=band,
+                    max_rounds=6,
+                    strands=[np.array(j["strands"], bool) for j in grp],
+                    params_rev=params_r)
+                for j, t in zip(grp, tpls):
+                    j["template"] = np.asarray(t, np.int8)
+        # ---- 4. per contig: raw flanks + batched stitches + re-anchor ----
+        by_ci: dict[int, list] = {}
+        for j in win_jobs:
+            cseq = cseqs[j["ci"]]
+            tpl = j["template"]
+            if j["s0"] > j["ext0"]:
+                tpl = np.concatenate([cseq[j["ext0"]:j["s0"]], tpl])
+            if j["s1"] < j["ext1"]:
+                tpl = np.concatenate([tpl, cseq[j["s1"]:j["ext1"]]])
+            j["template"] = tpl
+            by_ci.setdefault(j["ci"], []).append(j)
+        for ci, jobs in by_ci.items():
+            contig = contigs[ci]
+            cseq = cseqs[ci]
+            parts = [j["template"] for j in jobs]
+            tail_cut, head_chop = _stitch_cuts_batch(parts, overlap)
+            pieces, old_starts, new_starts = [], [], []
+            pos = 0
+            for j, p, tc, hc in zip(jobs, parts, tail_cut, head_chop):
+                old_starts.append(j["ext0"])
+                new_starts.append(pos - hc)
+                pieces.append(p[hc:tc])
+                pos += tc - hc
+            out = np.concatenate(pieces) if pieces else cseq
+            new_seq = seqmod.decode(out).decode()
+            if new_seq != contig["seq"]:
+                any_change = True
+            for t in contig.get("tiles", []):
+                t["_old_start"], t["_old_end"] = t["start"], t["end"]
+            _remap_tiles(contig, old_starts, new_starts, len(cseq),
+                         len(out))
+            _reanchor_tiles(contig, cseq, out)
+            contig["seq"] = new_seq
         if not any_change:
             break
     ds.push_stage("PolishContigs", [])
