@@ -156,7 +156,8 @@ def run_pipeline(config: PipelineConfig) -> str:
         purge_diverged(ds)
         purge_largeindel(ds)
         correct_deletion(ds, re_cluster=True)
-        dense_encoding(ds, length=config.compress_contig, seed=config.seed)
+        dense_encoding(ds, length=config.compress_contig, seed=config.seed,
+                       draft_gfa=f"{stem}.draft2.gfa")
         correct_deletion(ds, re_cluster=True)
         return ds
 

@@ -66,10 +66,13 @@ def _edge_keys(a, b):
 
 
 def dense_encoding(ds: DataSet, length: int = 15, seed: int = 42,
-                   min_span_reads: int = 4) -> DataSet:
+                   min_span_reads: int = 4,
+                   draft_gfa: str | None = None) -> DataSet:
     """Per-edge-label consensus across collapsed multi-copy contigs
     (enumerate_polyploid_edges + take_consensus_on/to_multitig,
-    dense_encoding.rs:334-546)."""
+    dense_encoding.rs:334-546).  ``draft_gfa``: dump the intermediate draft
+    graph like the reference's {prefix}.draft2.gfa (cli/src/pipeline.rs:113).
+    """
     cov = ds.coverage.unwrap() if ds.coverage.is_available else update_coverage(ds)
     chunk_seqs = {c.id: c.seq for c in ds.selected_chunks}
     if not chunk_seqs:
@@ -79,6 +82,10 @@ def dense_encoding(ds: DataSet, length: int = 15, seed: int = 42,
     g.remove_lightweight_edges(max(1, int(0.05 * cov)))  # weak thresholds
     assign_copy_numbers(g, cov)
     contigs = g.spell()
+    if draft_gfa:
+        from ..io.gfa import contigs_to_gfa
+        with open(draft_gfa, "w") as f:
+            f.write(contigs_to_gfa([c for c in contigs if c["seq"]]))
     mean_len = int(np.mean([len(s) for s in chunk_seqs.values()]))
     params = PHMMParams.from_hmmparam(ds.model_param.forward)
     next_id = max(chunk_seqs) + 1
