@@ -84,3 +84,47 @@ def test_terminal_shrink_noop_mid_window():
     s0, s1 = _terminal_shrink(spans, 1900, 4100, 2000, 4000, n_win=5, wi=1,
                               min_cov=4)
     assert (s0, s1) == (1900, 4100)
+
+
+def test_trim_segments_multi_matches_single():
+    from jtk_tpu.stages.consensus import trim_segments, trim_segments_multi
+    rng = np.random.default_rng(5)
+    jobs = []
+    for _ in range(3):
+        tpl = rng.integers(0, 4, 500).astype(np.int8)
+        segs = []
+        for _ in range(4):
+            lo = rng.integers(0, 40)
+            seg = np.concatenate([rng.integers(0, 4, lo),
+                                  tpl.copy(),
+                                  rng.integers(0, 4, rng.integers(0, 40))])
+            m = rng.random(len(seg)) < 0.05
+            seg[m] = (seg[m] + 1) % 4
+            segs.append(seg.astype(np.int8))
+        jobs.append((tpl, segs))
+    multi = trim_segments_multi(jobs, margin=150)
+    for (tpl, segs), got in zip(jobs, multi):
+        want = trim_segments(tpl, segs, 150, return_index=True)
+        assert len(got) == len(want)
+        for (gs, gi), (ws, wi) in zip(got, want):
+            assert gi == wi
+            # same span within a couple bp (different pad buckets can move
+            # the band edge)
+            assert abs(len(gs) - len(ws)) <= 2
+
+
+def test_stitch_cuts_batch_matches_sequential():
+    from jtk_tpu.stages.consensus import _stitch, _stitch_cuts_batch
+    rng = np.random.default_rng(6)
+    base = rng.integers(0, 4, 3000).astype(np.int8)
+    ov = 100
+    # three overlapping windows of one underlying sequence
+    parts = [base[0:1200].copy(), base[1000:2200].copy(),
+             base[2000:3000].copy()]
+    tail_cut, head_chop = _stitch_cuts_batch(parts, ov)
+    pieces = [p[hc:tc] for p, tc, hc in zip(parts, tail_cut, head_chop)]
+    got = np.concatenate(pieces)
+    out = parts[0]
+    for p in parts[1:]:
+        out, _ = _stitch(out, p, 2 * ov)
+    np.testing.assert_array_equal(got, out)
