@@ -274,6 +274,17 @@ class ChunkIndex:
         return out
 
 
+def _use_pallas_k3() -> bool:
+    """Pallas K3 engine switch: JTK_TPU_PALLAS_K3=1/0 overrides; default
+    follows the modtable engine (on for a real TPU backend)."""
+    import os
+    env = os.environ.get("JTK_TPU_PALLAS_K3")
+    if env is not None:
+        return env not in ("0", "", "false")
+    from ..ops.modtable import use_pallas
+    return use_pallas()
+
+
 def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
                       chunk_seqs: dict[int, np.ndarray], W: int = 256,
                       margin: int = 200, batch: int = 2048):
@@ -374,8 +385,14 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
         else:
             cc_d, rsp_d, ws_d, as_d, tl_d = (cc, pack2bit(rs), ws, astart,
                                              t_lens)
-        handle = _extend_hostwin(dev_blob, dev_lens, cc_d, rsp_d, ws_d,
-                                 as_d, tl_d, W, Qpad, Tpad, margin)
+        if _use_pallas_k3():
+            from ..ops.pallas_k3 import pallas_extend_hostwin
+            handle = pallas_extend_hostwin(dev_blob, dev_lens, cc_d, rsp_d,
+                                           ws_d, as_d, tl_d, W, Qpad, Tpad,
+                                           margin, interpret=False)
+        else:
+            handle = _extend_hostwin(dev_blob, dev_lens, cc_d, rsp_d, ws_d,
+                                     as_d, tl_d, W, Qpad, Tpad, margin)
         dispatched.append((grp, B, handle))
     results = []
     overflow = []
