@@ -137,10 +137,6 @@ def modification_table_from_tables(q, offsets, q_len, t_len,
     fMl = _shr2(fM)
     fIl = _shr2(fI)
     fDl = _shr2(fD)
-    # backward next column (i, jc+1): index k+1
-    bMn = _shl2(bM)
-    bDn = _shl2(bD)
-
     A = tmm * fMd + tim * fId + tdm * fDd          # arrive in M at column jc
     Anext = tmm * fMu + tim * fIu + tdm * fDu      # arrive in M at inserted col
     Dnew = tmd * fMl + tid * fIl + tdd * fDl       # arrive in D skipping jc
