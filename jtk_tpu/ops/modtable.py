@@ -480,7 +480,9 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
     # cap the fused batch: the tables + assembly intermediates are
     # O(B * Q * W) in HBM, so the cap scales inversely with the band
     # (192 pairs fit at W<=256; W=384 OOMed — use 128 there)
-    MAXB = max(16, min(192, (192 * 256 // W) // 8 * 8))
+    import os
+    _cap = int(os.environ.get("JTK_TPU_MAXB", 192))
+    MAXB = max(16, min(_cap, (_cap * 256 // W) // 8 * 8))
     # fixed-size slices, tail padded by repeating row 0: batch sizes land in
     # a handful of compiled shapes {8,16,32,64,128,MAXB} regardless of the
     # pileup (recompiles cost ~a minute on the tunneled TPU)
@@ -511,13 +513,36 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
             preps.append(prep)
             segs.append(seg_p)
             n_reals.append(e - s)
-        stacked = {k: np.stack([p[k] for p in preps]) for k in preps[0]}
-        lks_s, tot = _fused_reduced_scan(
-            stacked, np.stack(segs), ((int(W) + 127) // 128) * 128, Q,
-            Tpad, interpret, n_seg)
-        lks_s = np.asarray(lks_s)
-        lk_out = np.concatenate([lks_s[i][:n] for i, n in enumerate(n_reals)])
-        return lk_out, np.asarray(tot, np.float64)
+        # bound the per-dispatch scan length: one giant lax.scan (~100
+        # slices at COX-class pileups) runs minutes inside a single XLA
+        # program and trips the tunnel worker's deadline ("TPU worker
+        # crashed").  Groups of SCAN_MAX keep a dispatch under ~10 s, and
+        # ragged tails pad with a repeat of the last slice routed to the
+        # dump segment.
+        SCAN_MAX = 8
+        Wr = ((int(W) + 127) // 128) * 128
+        lk_parts = []
+        tot = None
+        for g0 in range(0, len(preps), SCAN_MAX):
+            pg = preps[g0:g0 + SCAN_MAX]
+            sg = segs[g0:g0 + SCAN_MAX]
+            S = len(pg)
+            # pad ragged tail groups to one stable compiled shape
+            if g0 and S < SCAN_MAX:
+                dump = np.full_like(sg[0], n_seg)
+                while len(pg) < SCAN_MAX:
+                    pg = pg + [pg[-1]]
+                    sg = sg + [dump]
+            stacked = {k: np.stack([p[k] for p in pg]) for k in pg[0]}
+            lks_s, t = _fused_reduced_scan(stacked, np.stack(sg), Wr, Q,
+                                           Tpad, interpret, n_seg)
+            lks_s = np.asarray(lks_s)[:S]
+            lk_parts.extend(lks_s)
+            t = np.asarray(t, np.float64)
+            tot = t if tot is None else tot + t
+        lk_out = np.concatenate([lk_parts[i][:n]
+                                 for i, n in enumerate(n_reals)])
+        return lk_out, tot
     lks, tabs = [], []
     totals = None
     for s in range(0, B_all, B_slice):
@@ -733,7 +758,9 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
     q_lens = np.asarray(q_lens, np.int32)
     seg_ids = np.asarray(seg_ids, np.int64)
     B_all = qs.shape[0]
-    MAXB = max(16, min(192, (192 * 256 // W) // 8 * 8))
+    import os
+    _cap = int(os.environ.get("JTK_TPU_MAXB", 192))
+    MAXB = max(16, min(_cap, (_cap * 256 // W) // 8 * 8))
     if B_all > MAXB * 2 // 3:
         B_slice = MAXB
     else:
@@ -769,30 +796,60 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
             n_seg)
         lks = np.asarray(lk)[:n_reals[0]]
         stats = np.asarray(st_out, np.float64)
-        tabs, lk_d, seg_d = tab[None], lk[None], segs[0][None]
+        tabs, lk_d, seg_d = [tab[None]], [lk[None]], [segs[0][None]]
+        grp_sizes = [1]
     else:
-        stacked = {k: np.stack([p[k] for p in preps]) for k in preps[0]}
-        lk_d, st_out, tabs = _fused_stats_scan(
-            stacked, np.stack(segs), exp_pad, np.stack(fwds), W, Q, Tpad,
-            interpret, n_seg)
-        lks_s = np.asarray(lk_d)
-        lks = np.concatenate([lks_s[i][:n] for i, n in enumerate(n_reals)])
-        stats = np.asarray(st_out, np.float64)
-        seg_d = np.stack(segs)
+        # grouped scans (see the reduced path: one giant scan trips the
+        # tunnel worker's deadline)
+        SCAN_MAX = 8
+        tabs, lk_d, seg_d, grp_sizes = [], [], [], []
+        stats = None
+        lk_parts = []
+        for g0 in range(0, len(preps), SCAN_MAX):
+            pg = preps[g0:g0 + SCAN_MAX]
+            sg = segs[g0:g0 + SCAN_MAX]
+            fg = fwds[g0:g0 + SCAN_MAX]
+            S = len(pg)
+            if g0 and S < SCAN_MAX:
+                dump = np.full_like(sg[0], n_seg)
+                while len(pg) < SCAN_MAX:
+                    pg = pg + [pg[-1]]
+                    sg = sg + [dump]
+                    fg = fg + [fg[-1]]
+            stacked = {k: np.stack([p[k] for p in pg]) for k in pg[0]}
+            lkg, st_out, tabg = _fused_stats_scan(
+                stacked, np.stack(sg), exp_pad, np.stack(fg), W, Q, Tpad,
+                interpret, n_seg)
+            t = np.asarray(st_out, np.float64)
+            stats = t if stats is None else stats + t
+            lk_parts.extend(np.asarray(lkg)[:S])
+            tabs.append(tabg)
+            lk_d.append(lkg)
+            seg_d.append(np.stack(sg))
+            grp_sizes.append(S)
+        lks = np.concatenate([lk_parts[i][:n]
+                              for i, n in enumerate(n_reals)])
     Bs = preps[0]["q_lens_p"].shape[0]
 
     def gather(flat_cols):
         cols = np.asarray(flat_cols, np.int64)
         U = ((len(cols) + 127) // 128) * 128
         cols_p = np.concatenate([cols, np.zeros(U - len(cols), np.int64)])
-        r, c = _gather_prof_cols(
-            jnp.reshape(tabs, (-1,) + tuple(tabs.shape[2:])),
-            jnp.reshape(lk_d, (-1,)),
-            np.reshape(seg_d, -1), exp_pad, cols_p)
-        r, c = np.asarray(r), np.asarray(c)
-        rows = np.concatenate([i * Bs + np.arange(n)
-                               for i, n in enumerate(n_reals)])
-        return r[rows][:, :len(cols)], c[rows][:, :len(cols)]
+        raws, comps = [], []
+        slice_i = 0  # global real-slice counter across groups
+        for tabg, lkg, segg, S in zip(tabs, lk_d, seg_d, grp_sizes):
+            r, c = _gather_prof_cols(
+                jnp.reshape(tabg, (-1,) + tuple(tabg.shape[2:])),
+                jnp.reshape(lkg, (-1,)),
+                np.reshape(segg, -1), exp_pad, cols_p)
+            r, c = np.asarray(r), np.asarray(c)
+            rows = np.concatenate(
+                [k * Bs + np.arange(n_reals[slice_i + k])
+                 for k in range(S)])
+            slice_i += S
+            raws.append(r[rows][:, :len(cols)])
+            comps.append(c[rows][:, :len(cols)])
+        return np.concatenate(raws), np.concatenate(comps)
 
     return lks, stats, gather
 
