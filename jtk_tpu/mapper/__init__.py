@@ -274,10 +274,18 @@ class ChunkIndex:
         return out
 
 
+_K3_BROKEN = False  # set when the Pallas K3 fails to compile on this backend
+
+
 def _use_pallas_k3() -> bool:
     """Pallas K3 engine switch: JTK_TPU_PALLAS_K3=1/0 overrides; default
-    follows the modtable engine (on for a real TPU backend)."""
+    follows the modtable engine (on for a real TPU backend).  A Mosaic
+    compile failure flips the process-wide kill switch so encode degrades
+    to the XLA scan engine instead of dying (BENCH_r03 lost its TPU number
+    to exactly this)."""
     import os
+    if _K3_BROKEN:
+        return False
     env = os.environ.get("JTK_TPU_PALLAS_K3")
     if env is not None:
         return env not in ("0", "", "false")
@@ -385,12 +393,21 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
         else:
             cc_d, rsp_d, ws_d, as_d, tl_d = (cc, pack2bit(rs), ws, astart,
                                              t_lens)
+        handle = None
         if _use_pallas_k3():
             from ..ops.pallas_k3 import pallas_extend_hostwin
-            handle = pallas_extend_hostwin(dev_blob, dev_lens, cc_d, rsp_d,
-                                           ws_d, as_d, tl_d, W, Qpad, Tpad,
-                                           margin, interpret=False)
-        else:
+            try:
+                handle = pallas_extend_hostwin(dev_blob, dev_lens, cc_d,
+                                               rsp_d, ws_d, as_d, tl_d, W,
+                                               Qpad, Tpad, margin,
+                                               interpret=False)
+            except Exception as e:  # noqa: BLE001 — Mosaic compile failure
+                global _K3_BROKEN
+                _K3_BROKEN = True
+                import sys
+                print(f"pallas K3 disabled ({type(e).__name__}): "
+                      f"{str(e).splitlines()[0][:200]}", file=sys.stderr)
+        if handle is None:
             handle = _extend_hostwin(dev_blob, dev_lens, cc_d, rsp_d, ws_d,
                                      as_d, tl_d, W, Qpad, Tpad, margin)
         dispatched.append((grp, B, handle))

@@ -98,12 +98,15 @@ def _edit_dp_kernel(e0_ref, qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
             e_n = jnp.where(live, er, e)
             j_keep = jnp.where(live, j_n, j)
             rc_keep = jnp.where(live, rc_n, rc)
-            blk[:, r, :] = packed
+            # dynamic row index goes on the UNTILED leading dim of the
+            # scratch (Mosaic rejects dynamic stores on tiled dims unless
+            # provably 8-aligned — BENCH_r03 failure)
+            blk[r] = packed
             return e_n, j_keep, rc_keep
 
         e, j, rc = jax.lax.fori_loop(0, BLK, body, (e, j, rc))
         cp = pltpu.make_async_copy(
-            blk, out_pl.at[pl.ds(g * SUB, SUB), pl.ds(tblk * BLK, BLK), :],
+            blk, out_pl.at[pl.ds(tblk * BLK, BLK), pl.ds(g * SUB, SUB), :],
             sems.at[0])
         cp.start()
         cp.wait()
@@ -133,9 +136,9 @@ def _pallas_edit(e0, qs, shifts, inc, rc0, j0, qlp, tlp,
         in_specs=[row_spec(W), row_spec(Q), row_spec(Q), row_spec(Q),
                   row_spec(W), row_spec(W), row_spec(1), row_spec(1)],
         out_specs=[any_spec, row_spec(W)],
-        out_shape=[jax.ShapeDtypeStruct((B, Q, W), jnp.int16),
+        out_shape=[jax.ShapeDtypeStruct((Q, B, W), jnp.int16),
                    jax.ShapeDtypeStruct((B, W), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((SUB, BLK, W), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((BLK, SUB, W), jnp.int16),
                         pltpu.SemaphoreType.DMA((1,))],
         interpret=interpret,
     )(e0, qs, shifts, inc, rc0, j0, qlp, tlp)
@@ -143,18 +146,23 @@ def _pallas_edit(e0, qs, shifts, inc, rc0, j0, qlp, tlp,
 
 
 def _traceback_packed(packed, offsets, q_len, end_j, W: int):
-    """Traceback over the packed (B is vmapped outside) int16 stream.
+    """Batched traceback over the packed int16 stream in kernel layout.
 
-    packed[i-1, k] holds row i's (ptr | run << 2).  Mirrors
-    banded_align._traceback_on_device."""
-    Q = packed.shape[0]
+    packed is (Q, B, W): packed[i-1, b, k] holds pair b row i's
+    (ptr | left-run << 2).  One scan of Q steps walks all B pairs at once
+    (carries are (B,) vectors).  Mirrors banded_align._traceback_on_device.
+    Returns (dels (B,Q) uint16, ops (B,Q) uint8, start_j (B,))."""
+    Q, B, _ = packed.shape
     flat = packed.reshape(-1)
+    boff = np.arange(B, dtype=np.int32) * W
 
     def step(carry, t):
-        i, j = carry
+        i, j = carry                                        # (B,), (B,)
         live = i > 0
-        k = jnp.clip(j - offsets[jnp.clip(i, 0, Q)], 0, W - 1)
-        base = jnp.clip(i - 1, 0, Q - 1) * W
+        off_i = jnp.take_along_axis(
+            offsets, jnp.clip(i, 0, Q)[:, None], axis=1)[:, 0]
+        k = jnp.clip(j - off_i, 0, W - 1)
+        base = jnp.clip(i - 1, 0, Q - 1) * (B * W) + boff
         v = flat[base + k].astype(jnp.int32)
         l = v >> 2
         k2 = jnp.clip(k - l, 0, W - 1)
@@ -172,7 +180,7 @@ def _traceback_packed(packed, offsets, q_len, end_j, W: int):
     (_, j_f), (dels, ops) = jax.lax.scan(
         step, (q_len.astype(jnp.int32), end_j.astype(jnp.int32)),
         np.arange(Q, dtype=np.int32))
-    return dels, ops, j_f
+    return dels.T, ops.T, j_f
 
 
 @functools.partial(jax.jit,
@@ -223,9 +231,7 @@ def pallas_extend_hostwin(chunks_blob, chunk_lens, cand_chunk, rs_packed,
     off_at_qlen = jnp.take_along_axis(off, q_lens[:, None], axis=1)[:, 0]
     end_j = off_at_qlen + k_end
 
-    dels, ops, start_j = jax.vmap(
-        functools.partial(_traceback_packed, W=W))(packed, off, q_lens,
-                                                   end_j)
+    dels, ops, start_j = _traceback_packed(packed, off, q_lens, end_j, W)
     # pack results exactly like _extend_hostwin
     Qp = (Q + 7) // 8 * 8
     bits = jnp.pad((ops == 2).astype(jnp.uint8), ((0, 0), (0, Qp - Q)))
