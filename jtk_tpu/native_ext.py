@@ -56,6 +56,8 @@ def load(name: str):
 
 
 _I8P = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_U16P = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
 _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _U64P = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
@@ -101,5 +103,43 @@ def kmer_vote_native(blob, lane_starts, lane_lens, lane_phases,
                out[0], out[1], out[2], out[3], np.int64(cap))
         if n >= 0:
             return tuple(o[:n] for o in out)
+        cap = -n
+    return None
+
+
+def cigar_expand_native(bits, del_vals, del_idx, q_lens, lead_d):
+    """Batched RLE cigar construction from packed traceback streams.
+
+    bits (B, bytes) uint8 little-endian is-insertion plane; del_vals/del_idx
+    (B, K) uint16; q_lens/lead_d (B,) int32.  Returns (kinds uint8, lens
+    int32, row_off int64 (B+1,)) or None when the library is unavailable."""
+    lib = load("cigar_expand")
+    if lib is None:
+        return None
+    fn = lib.cigar_expand
+    if not getattr(fn, "_configured", False):
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            _U8P, ctypes.c_int64, _U16P, _U16P, ctypes.c_int32,
+            _I32P, _I32P, ctypes.c_int32,
+            _U8P, _I32P, ctypes.c_int64, _I64P,
+        ]
+        fn._configured = True
+    bits = np.ascontiguousarray(bits, np.uint8)
+    del_vals = np.ascontiguousarray(del_vals, np.uint16)
+    del_idx = np.ascontiguousarray(del_idx, np.uint16)
+    q_lens = np.ascontiguousarray(q_lens, np.int32)
+    lead_d = np.ascontiguousarray(lead_d, np.int32)
+    B = len(q_lens)
+    row_off = np.empty(B + 1, np.int64)
+    cap = max(1024, int(q_lens.sum()) // 8)
+    for _ in range(3):
+        kinds = np.empty(cap, np.uint8)
+        lens = np.empty(cap, np.int32)
+        n = fn(bits, np.int64(bits.shape[1]), del_vals, del_idx,
+               np.int32(del_vals.shape[1]), q_lens, lead_d, np.int32(B),
+               kinds, lens, np.int64(cap), row_off)
+        if n >= 0:
+            return kinds[:n], lens[:n], row_off
         cap = -n
     return None

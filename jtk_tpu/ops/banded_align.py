@@ -379,6 +379,37 @@ def extend_indexed_batch(reads_blob, read_lens, chunks_blob, chunk_lens,
     return decode_indexed(meta, ops_packed, delpack, q_lens)
 
 
+def _expand_cigars_batch(ops_packed, del_vals, del_idx, q_lens, lead_d):
+    """All-rows cigar expansion: native single pass when available, else the
+    per-row numpy fallback.  Returns a list of [(kind, len)] cigars."""
+    B = len(q_lens)
+    from ..native_ext import cigar_expand_native
+    got = cigar_expand_native(np.asarray(ops_packed), del_vals, del_idx,
+                              np.asarray(q_lens, np.int32),
+                              np.asarray(lead_d, np.int32))
+    if got is not None:
+        kinds, lens, row_off = got
+        kl = np.array([" ", "M", "I", "D"])[kinds].tolist()
+        ll = lens.tolist()
+        return [list(zip(kl[row_off[b]:row_off[b + 1]],
+                         ll[row_off[b]:row_off[b + 1]])) for b in range(B)]
+    Q = ops_packed.shape[1] * 8
+    is_ins = np.unpackbits(np.asarray(ops_packed), axis=1,
+                           bitorder="little")[:, :Q].astype(bool)
+    del_idx = del_idx.astype(np.int64)
+    out = []
+    for b in range(B):
+        ql = int(q_lens[b])
+        dels_b = np.zeros(ql, np.int64)
+        nz = del_vals[b] > 0
+        idx = del_idx[b][nz]
+        okm = idx < ql
+        dels_b[idx[okm]] = del_vals[b][nz][okm]
+        out.append(_expand_cigar(is_ins[b, :ql][::-1], dels_b[::-1],
+                                 int(lead_d[b])))
+    return out
+
+
 def decode_indexed(meta, ops_packed, delpack, q_lens):
     meta = np.asarray(meta)
     delpack = np.asarray(delpack)
@@ -390,22 +421,15 @@ def decode_indexed(meta, ops_packed, delpack, q_lens):
     astart = meta[:, 5]
     kh = delpack.shape[1] // 2
     del_vals = delpack[:, :kh]
-    del_idx = delpack[:, kh:].astype(np.int64)
-    Q = ops_packed.shape[1] * 8
-    is_ins = np.unpackbits(np.asarray(ops_packed), axis=1,
-                           bitorder="little")[:, :Q].astype(bool)
+    del_idx = delpack[:, kh:]
+    B = len(score)
+    cigars = _expand_cigars_batch(ops_packed, del_vals, del_idx, q_lens,
+                                  np.zeros(B, np.int32))
     out = []
-    for b in range(len(score)):
-        ql = int(q_lens[b])
-        dels_b = np.zeros(ql, np.int64)
-        nz = del_vals[b] > 0
-        idx = del_idx[b][nz]
-        okm = idx < ql
-        dels_b[idx[okm]] = del_vals[b][nz][okm]
-        cigar = _expand_cigar(is_ins[b, :ql][::-1], dels_b[::-1], 0)
+    for b in range(B):
         too_many = n_runs[b] > del_vals.shape[1]
         out.append((int(score[b]), int(astart[b] + start_j[b]),
-                    int(astart[b] + end_j[b]), cigar,
+                    int(astart[b] + end_j[b]), cigars[b],
                     bool(valid[b]) and not too_many))
     return out
 
@@ -506,24 +530,13 @@ def _decode_align_results(handle, qs, rs, offsets, q_lens, t_lens, W, mode):
     n_runs = meta[:, 3]
     k_half = delpack.shape[1] // 2
     del_vals = delpack[:, :k_half]
-    del_idx = delpack[:, k_half:].astype(np.int64)
-    Q = qs.shape[1]
-    is_ins = np.unpackbits(np.asarray(ops_packed), axis=1,
-                           bitorder="little")[:, :Q].astype(bool)
+    del_idx = delpack[:, k_half:]
     B = len(score)
-    cigars = []
     overflow = n_runs > del_vals.shape[1]
-    for b in range(B):
-        ql = int(q_lens[b])
-        lead = int(start_j[b]) if mode == "global" else 0
-        dels_b = np.zeros(ql, np.int64)
-        nz = del_vals[b] > 0
-        idx = del_idx[b][nz]
-        ok = idx < ql
-        dels_b[idx[ok]] = del_vals[b][nz][ok]
-        # step t covers query char ql-1-t; forward order = reversed rows
-        cigars.append(_expand_cigar(is_ins[b, :ql][::-1],
-                                    dels_b[::-1], lead))
+    # step t covers query char ql-1-t; forward order = reversed rows
+    lead = (start_j if mode == "global" else np.zeros(B, np.int32))
+    cigars = _expand_cigars_batch(ops_packed, del_vals, del_idx, q_lens,
+                                  lead)
     # rare overflow (> DEL_TOPK deletion runs): fall back to the dense path
     if overflow.any():
         idxs = np.nonzero(overflow)[0]
