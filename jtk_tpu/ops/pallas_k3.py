@@ -153,7 +153,9 @@ def _traceback_packed(packed, offsets, q_len, end_j, W: int):
     (carries are (B,) vectors).  Mirrors banded_align._traceback_on_device.
     Returns (dels (B,Q) uint16, ops (B,Q) uint8, start_j (B,))."""
     Q, B, _ = packed.shape
-    flat = packed.reshape(-1)
+    # 2D layout (Q, B*W): per-row linear index stays < B*W, so no int32
+    # overflow even when Q*B*W exceeds 2^31 (production 4096x2048x256 did)
+    flat = packed.reshape(Q, B * W)
     boff = np.arange(B, dtype=np.int32) * W
 
     def step(carry, t):
@@ -162,11 +164,11 @@ def _traceback_packed(packed, offsets, q_len, end_j, W: int):
         off_i = jnp.take_along_axis(
             offsets, jnp.clip(i, 0, Q)[:, None], axis=1)[:, 0]
         k = jnp.clip(j - off_i, 0, W - 1)
-        base = jnp.clip(i - 1, 0, Q - 1) * (B * W) + boff
-        v = flat[base + k].astype(jnp.int32)
+        row = jnp.clip(i - 1, 0, Q - 1)
+        v = flat[row, boff + k].astype(jnp.int32)
         l = v >> 2
         k2 = jnp.clip(k - l, 0, W - 1)
-        v2 = flat[base + k2].astype(jnp.int32)
+        v2 = flat[row, boff + k2].astype(jnp.int32)
         p = v2 & 3
         is_diag = p == 0
         op = jnp.where(is_diag, 1, 2).astype(jnp.uint8)
@@ -222,16 +224,37 @@ def pallas_extend_hostwin(chunks_blob, chunk_lens, cand_chunk, rs_packed,
     e0 = jnp.where(j0 <= t_lens[:, None], 0, INF).astype(jnp.int32)
     qlp = q_lens.astype(jnp.int32)[:, None]
     tlp = t_lens.astype(jnp.int32)[:, None]
-    packed, last = _pallas_edit(e0, q, shifts, inc, rc0, j0, qlp, tlp,
-                                W, Q, interpret)
-    # infix score: min over the final row
-    k_end = jnp.argmin(last, axis=1).astype(jnp.int32)
-    bidx = np.arange(B)
-    score = last[bidx, k_end]
-    off_at_qlen = jnp.take_along_axis(off, q_lens[:, None], axis=1)[:, 0]
-    end_j = off_at_qlen + k_end
-
-    dels, ops, start_j = _traceback_packed(packed, off, q_lens, end_j, W)
+    # slice the pair dim so the (Q, Bs, W) traceback stream stays well under
+    # 2^31 elements (int32 index arithmetic) and bounded in HBM; all slices
+    # run inside this one jit = one dispatch.  Each slice's stream dies with
+    # its traceback, so peak HBM is ~one slice.
+    import os
+    maxb = max(SUB, min(2048, (1 << 30) // (Q * W) // SUB * SUB))
+    maxb = int(os.environ.get("JTK_TPU_K3_MAXB", maxb))  # test knob
+    score_l, end_l, dels_l, ops_l, start_l = [], [], [], [], []
+    for s in range(0, B, maxb):
+        e = min(B, s + maxb)
+        sl = slice(s, e)
+        packed, last = _pallas_edit(e0[sl], q[sl], shifts[sl], inc[sl],
+                                    rc0[sl], j0[sl], qlp[sl], tlp[sl],
+                                    W, Q, interpret)
+        # infix score: min over the final row
+        k_end = jnp.argmin(last, axis=1).astype(jnp.int32)
+        bidx = np.arange(e - s)
+        score_l.append(last[bidx, k_end])
+        off_at_qlen = jnp.take_along_axis(off[sl], q_lens[sl, None],
+                                          axis=1)[:, 0]
+        end_sl = off_at_qlen + k_end
+        end_l.append(end_sl)
+        d, o, st = _traceback_packed(packed, off[sl], q_lens[sl], end_sl, W)
+        dels_l.append(d)
+        ops_l.append(o)
+        start_l.append(st)
+    score = jnp.concatenate(score_l)
+    end_j = jnp.concatenate(end_l)
+    dels = jnp.concatenate(dels_l)
+    ops = jnp.concatenate(ops_l)
+    start_j = jnp.concatenate(start_l)
     # pack results exactly like _extend_hostwin
     Qp = (Q + 7) // 8 * 8
     bits = jnp.pad((ops == 2).astype(jnp.uint8), ((0, 0), (0, Qp - Q)))
