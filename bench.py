@@ -115,6 +115,9 @@ def emit(result: dict):
 
 
 def main():
+    import logging
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(name)s: %(message)s")
     backend = probe_backend()
     result = {
         "metric": "reads_encoded_per_s",
