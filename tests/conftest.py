@@ -5,7 +5,7 @@ with 8 virtual devices the first MLIR lowering in the process takes ~2min
 (vs ~25s with 1 device).  Sharding tests (tests/test_parallel.py) spawn
 subprocesses with the flag set explicitly.
 
-The persistent compilation cache (.jax_cache, shared with bench.py) cuts
+The persistent compilation cache (.jax_cache_cpu; bench/validate use .jax_cache) cuts
 repeat test runs from ~26 min to a few minutes: most test shapes are stable
 across runs, so recompiles become cache hits.
 """
@@ -14,8 +14,11 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# tests get their OWN cache dir: CPU keys never match the device keys in
+# .jax_cache, and concurrent reads while a tunnel process writes that dir
+# have aborted the suite mid-read (zstd on a truncated entry)
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache")
+                      ".jax_cache_cpu")
 
 
 def pytest_configure(config):
