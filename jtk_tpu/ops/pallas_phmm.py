@@ -23,7 +23,13 @@ import numpy as np
 
 from .phmm import PHMMParams
 
-SUB = 8  # pairs per program (sublane dimension)
+import os as _os
+
+# pairs per program (sublane dimension of the in-VMEM wavefront state).
+# 8 = one (8,128) VREG per vector op; larger values amortize the per-row
+# loop/extract overhead over more pairs at the cost of register pressure
+# (tunable for experiments; every batch size used must stay a multiple)
+SUB = int(_os.environ.get("JTK_TPU_SUB", 8))
 
 
 def _rollr(x, n, fill):
