@@ -30,6 +30,8 @@ import os as _os
 # loop/extract overhead over more pairs at the cost of register pressure
 # (tunable for experiments; every batch size used must stay a multiple)
 SUB = int(_os.environ.get("JTK_TPU_SUB", 8))
+# inner row-loop unroll factor (amortizes Mosaic loop bookkeeping)
+UNROLL = int(_os.environ.get("JTK_TPU_UNROLL", 1))
 
 
 def _rollr(x, n, fill):
@@ -150,7 +152,7 @@ def _phmm_fwd_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref, qlen_ref,
             jn = jnp.where(live, j, j - s)
             return Mn, In, Dn, logs, jn, rc, qc
 
-        return jax.lax.fori_loop(0, 128, body, carry)
+        return jax.lax.fori_loop(0, 128, body, carry, unroll=UNROLL)
 
     M, I, D, logs, j, rc, _ = jax.lax.fori_loop(
         0, Q // 128, outer, (M, I, D, logs, j, rc, qprev0))
@@ -192,10 +194,9 @@ def _pallas_fwd(qs, shifts, inc, rc0, j0, q_lens, t_lens, trans, me, ie,
 BLK = 128
 
 
-def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
+def _fwd_tables_kernel(emis_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
                        m0_ref, i0_ref, d0_ref, qlen_ref, tlen_ref,
-                       strand_ref, trans_ref, me_ref, ie_ref,
-                       trans2_ref, me2_ref, ie2_ref,
+                       strand_ref, trans_ref, trans2_ref,
                        outM, outI, outD, outLs_ref,
                        blkM, blkI, blkD, sems):
     """Forward pass streaming every banded row to HBM.
@@ -203,13 +204,19 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
     Identical math to ops.phmm.forward_banded's scan step; rows are computed
     in VMEM in blocks of BLK and DMA'd out, so the whole wavefront stays
     on-chip while the tables land in HBM for the closed-form modtable
-    assembly."""
+    assembly.
+
+    Emissions arrive PRECOMPUTED per row as 5 concatenated (SUB, Q) f32
+    streams in ``emis_ref`` = [me(A)|me(C)|me(G)|me(T)|ie]: stream v<4 at
+    row index x holds emit(ref_base=v, q[x]) and stream 4 holds
+    ins_emit(q[x-1], q[x]), both already strand-selected — the per-row
+    work drops from a 20-term select loop to 5 masked reduces."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     g = pl.program_id(0)
     W = rc0_ref.shape[1]
-    Q = qs_ref.shape[1]
+    Q = shifts_ref.shape[1]
     # per-pair strand flag picks the fwd- or rev-strand parameter set,
     # merging the two strand passes into one dispatch
     sflag = (strand_ref[:, 0] > 0).astype(jnp.float32)[:, None]  # (SUB,1)
@@ -221,8 +228,6 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
     tmm, tmi, tmd = tsel(0, 0), tsel(0, 1), tsel(0, 2)
     tim, tii, tid = tsel(1, 0), tsel(1, 1), tsel(1, 2)
     tdm, tdi, tdd = tsel(2, 0), tsel(2, 1), tsel(2, 2)
-    me, me2 = me_ref[:], me2_ref[:]
-    ie, ie2 = ie_ref[:], ie2_ref[:]
     qlen = qlen_ref[:, 0]
     tlenf = tlen_ref[:, 0].astype(jnp.float32)
 
@@ -236,12 +241,6 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
             shift *= 2
         return y
 
-    def emis_row(rc, col):
-        em = jnp.zeros(rc.shape, jnp.float32)
-        for b in range(4):
-            em = em + jnp.where(rc == b, 1.0, 0.0) * col[:, b][:, None]
-        return em
-
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
     laneW = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
 
@@ -250,22 +249,30 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
     D = d0_ref[:]
     j = j0_ref[:].astype(jnp.float32)
     rc = rc0_ref[:].astype(jnp.int32)
-    qprev0 = jnp.full((SUB,), 4, jnp.int32)
 
     def outer(tblk, carry):
-        M, I, D, j, rc, qprev = carry
+        M, I, D, j, rc = carry
         col = pl.multiple_of(tblk * BLK, BLK)
-        qt = qs_ref[:, pl.ds(col, BLK)]
         st = shifts_ref[:, pl.ds(col, BLK)]
         it = inc_ref[:, pl.ds(col, BLK)]
+        e0t = emis_ref[:, pl.ds(0 * Q + col, BLK)]
+        e1t = emis_ref[:, pl.ds(1 * Q + col, BLK)]
+        e2t = emis_ref[:, pl.ds(2 * Q + col, BLK)]
+        e3t = emis_ref[:, pl.ds(3 * Q + col, BLK)]
+        eit = emis_ref[:, pl.ds(4 * Q + col, BLK)]
 
         def body(r, carry):
-            M, I, D, j, rc, qprev, ls_blk = carry
+            M, I, D, j, rc, ls_blk = carry
             i = tblk * BLK + r + 1
             sel = lane128 == r
-            qc = jnp.sum(jnp.where(sel, qt, 0), axis=1)
+            self_ = jnp.where(sel, 1.0, 0.0)
             sv = jnp.sum(jnp.where(sel, st, 0), axis=1)
             newc = jnp.sum(jnp.where(sel, it, 0), axis=1)
+            e0 = jnp.sum(self_ * e0t, axis=1)
+            e1 = jnp.sum(self_ * e1t, axis=1)
+            e2 = jnp.sum(self_ * e2t, axis=1)
+            e3 = jnp.sum(self_ * e3t, axis=1)
+            ei = jnp.sum(self_ * eit, axis=1)
             s = sv.astype(jnp.float32)[:, None]
             one = s == 1.0
             Md = jnp.where(one, M, _roll_right1(M, 0.0))
@@ -278,18 +285,10 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
             rc_shift = jnp.where(laneW == W - 1, newc[:, None], rc_shift)
             rc_n = jnp.where(one, rc_shift, rc)
             j_n = j + s
-            me_col = jnp.zeros((SUB, 4), jnp.float32)
-            ei = jnp.zeros((SUB,), jnp.float32)
-            sf = sflag[:, 0]
-            for b in range(4):
-                hit = (qc == b).astype(jnp.float32)
-                mb = (1.0 - sflag) * me[:4, b][None, :] \
-                    + sflag * me2[:4, b][None, :]
-                me_col = me_col + hit[:, None] * mb
-                for p in range(5):
-                    ib = (1.0 - sf) * ie[p, b] + sf * ie2[p, b]
-                    ei = ei + hit * jnp.where(qprev == p, 1.0, 0.0) * ib
-            em = emis_row(rc_n, me_col)
+            em = (jnp.where(rc_n == 0, e0[:, None], 0.0)
+                  + jnp.where(rc_n == 1, e1[:, None], 0.0)
+                  + jnp.where(rc_n == 2, e2[:, None], 0.0)
+                  + jnp.where(rc_n == 3, e3[:, None], 0.0))
             ok = (j_n >= 1) & (j_n <= tlenf[:, None])
             em = jnp.where(ok, em, 0.0)
             Mrow = em * (tmm * Md + tim * Id + tdm * Dd)
@@ -311,11 +310,11 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
             blkI[:, r, :] = In
             blkD[:, r, :] = Dn
             ls_blk = jnp.where(lane128 == r, ls[:, None], ls_blk)
-            return Mn, In, Dn, jn, rc_keep, qc, ls_blk
+            return Mn, In, Dn, jn, rc_keep, ls_blk
 
         ls0_blk = jnp.zeros((SUB, BLK), jnp.float32)
-        M, I, D, j, rc, qprev, ls_blk = jax.lax.fori_loop(
-            0, BLK, body, (M, I, D, j, rc, qprev, ls0_blk))
+        M, I, D, j, rc, ls_blk = jax.lax.fori_loop(
+            0, BLK, body, (M, I, D, j, rc, ls0_blk), unroll=UNROLL)
         outLs_ref[:, pl.ds(col, BLK)] = ls_blk
         row0 = tblk * BLK
         cpM = pltpu.make_async_copy(
@@ -330,26 +329,28 @@ def _fwd_tables_kernel(qs_ref, shifts_ref, inc_ref, rc0_ref, j0_ref,
         cpM.wait()
         cpI.wait()
         cpD.wait()
-        return M, I, D, j, rc, qprev
+        return M, I, D, j, rc
 
-    jax.lax.fori_loop(0, Q // BLK, outer, (M, I, D, j, rc, qprev0))
+    jax.lax.fori_loop(0, Q // BLK, outer, (M, I, D, j, rc))
 
 
-def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
+def _bwd_tables_kernel(emis_ref, shifts_ref, inc_ref,
                        rcq_ref, jq_ref, bm0_ref, bi0_ref, bd0_ref,
                        qlen_ref, tlen_ref, strand_ref,
-                       trans_ref, me_ref, ie_ref,
-                       trans2_ref, me2_ref, ie2_ref,
+                       trans_ref, trans2_ref,
                        outM, outI, outD, outLs_ref,
                        blkM, blkI, blkD, sems):
     """Backward pass streaming rows Q-1..0 to HBM (mirror of
-    ops.phmm.backward_banded's scan step)."""
+    ops.phmm.backward_banded's scan step).  ``emis_ref`` carries the same
+    5 precomputed per-row emission streams as the forward kernel: the
+    backward step for row i consumes q[i] with context q[i-1] — exactly
+    stream index i."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     g = pl.program_id(0)
     W = rcq_ref.shape[1]
-    Q = qnext_ref.shape[1]
+    Q = shifts_ref.shape[1]
     sflag = (strand_ref[:, 0] > 0).astype(jnp.float32)[:, None]
     t1, t2 = trans_ref[:], trans2_ref[:]
 
@@ -359,8 +360,6 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
     tmm, tmi, tmd = tsel(0, 0), tsel(0, 1), tsel(0, 2)
     tim, tii, tid = tsel(1, 0), tsel(1, 1), tsel(1, 2)
     tdm, tdi, tdd = tsel(2, 0), tsel(2, 1), tsel(2, 2)
-    me, me2 = me_ref[:], me2_ref[:]
-    ie, ie2 = ie_ref[:], ie2_ref[:]
     qlen = qlen_ref[:, 0]
     tlenf = tlen_ref[:, 0].astype(jnp.float32)
 
@@ -373,12 +372,6 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
             apow = apow * _rolll(apow, shift, 0.0)
             shift *= 2
         return y
-
-    def emis_row(rc, col):
-        em = jnp.zeros(rc.shape, jnp.float32)
-        for b in range(4):
-            em = em + jnp.where(rc == b, 1.0, 0.0) * col[:, b][:, None]
-        return em
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
     laneW = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
@@ -393,20 +386,27 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
         bM, bI, bD, rc, j = carry
         tblk = Q // BLK - 1 - tblk_rev
         col = pl.multiple_of(tblk * BLK, BLK)
-        qt = qnext_ref[:, pl.ds(col, BLK)]
-        pt = qprevn_ref[:, pl.ds(col, BLK)]
         st = shifts_ref[:, pl.ds(col, BLK)]
         it = inc_ref[:, pl.ds(col, BLK)]
+        e0t = emis_ref[:, pl.ds(0 * Q + col, BLK)]
+        e1t = emis_ref[:, pl.ds(1 * Q + col, BLK)]
+        e2t = emis_ref[:, pl.ds(2 * Q + col, BLK)]
+        e3t = emis_ref[:, pl.ds(3 * Q + col, BLK)]
+        eit = emis_ref[:, pl.ds(4 * Q + col, BLK)]
 
         def body(r_rev, carry):
             bM, bI, bD, rc, j, ls_blk = carry
             r = BLK - 1 - r_rev
             i = tblk * BLK + r          # computing row i from row i+1
             sel = lane128 == r
-            qc = jnp.sum(jnp.where(sel, qt, 0), axis=1)
-            qp = jnp.sum(jnp.where(sel, pt, 0), axis=1)
+            self_ = jnp.where(sel, 1.0, 0.0)
             sv = jnp.sum(jnp.where(sel, st, 0), axis=1)
             newc = jnp.sum(jnp.where(sel, it, 0), axis=1)
+            e0 = jnp.sum(self_ * e0t, axis=1)
+            e1 = jnp.sum(self_ * e1t, axis=1)
+            e2 = jnp.sum(self_ * e2t, axis=1)
+            e3 = jnp.sum(self_ * e3t, axis=1)
+            ei = jnp.sum(self_ * eit, axis=1)
             s = sv.astype(jnp.float32)[:, None]
             one = s == 1.0
             # band content at row i: shift right on s=1, char enters lane 0
@@ -414,18 +414,10 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
             rc_shift = jnp.where(laneW == 0, newc[:, None], rc_shift)
             rc_i = jnp.where(one, rc_shift, rc)
             j_i = j - s                 # off[i] + k
-            me_col = jnp.zeros((SUB, 4), jnp.float32)
-            ei = jnp.zeros((SUB,), jnp.float32)
-            sf = sflag[:, 0]
-            for b in range(4):
-                hit = (qc == b).astype(jnp.float32)
-                mb = (1.0 - sflag) * me[:4, b][None, :] \
-                    + sflag * me2[:4, b][None, :]
-                me_col = me_col + hit[:, None] * mb
-                for p in range(5):
-                    ib = (1.0 - sf) * ie[p, b] + sf * ie2[p, b]
-                    ei = ei + hit * jnp.where(qp == p, 1.0, 0.0) * ib
-            em = emis_row(rc_i, me_col)
+            em = (jnp.where(rc_i == 0, e0[:, None], 0.0)
+                  + jnp.where(rc_i == 1, e1[:, None], 0.0)
+                  + jnp.where(rc_i == 2, e2[:, None], 0.0)
+                  + jnp.where(rc_i == 3, e3[:, None], 0.0))
             em = jnp.where(j_i + 1.0 <= tlenf[:, None], em, 0.0)
             bM1_at = jnp.where(one, bM, _roll_left1(bM, 0.0))
             bI1_at = jnp.where(one, _roll_right1(bI, 0.0), bI)
@@ -455,7 +447,7 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
 
         ls0_blk = jnp.zeros((SUB, BLK), jnp.float32)
         bM, bI, bD, rc, j, ls_blk = jax.lax.fori_loop(
-            0, BLK, body, (bM, bI, bD, rc, j, ls0_blk))
+            0, BLK, body, (bM, bI, bD, rc, j, ls0_blk), unroll=UNROLL)
         outLs_ref[:, pl.ds(col, BLK)] = ls_blk
         row0 = tblk * BLK
         cpM = pltpu.make_async_copy(
@@ -476,13 +468,13 @@ def _bwd_tables_kernel(qnext_ref, qprevn_ref, shifts_ref, inc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Q", "interpret"))
-def _pallas_fwd_tables(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp,
-                       strand, trans, me, ie, trans2, me2, ie2,
+def _pallas_fwd_tables(emis, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp,
+                       strand, trans, trans2,
                        W: int, Q: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B = qs.shape[0]
+    B = shifts.shape[0]
 
     def row_spec(ncols):
         return pl.BlockSpec((SUB, ncols), lambda g: (g, 0),
@@ -497,30 +489,29 @@ def _pallas_fwd_tables(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp,
     outs = pl.pallas_call(
         _fwd_tables_kernel,
         grid=(B // SUB,),
-        in_specs=[row_spec(Q), row_spec(Q), row_spec(Q), row_spec(W),
+        in_specs=[row_spec(5 * Q), row_spec(Q), row_spec(Q), row_spec(W),
                   row_spec(W), row_spec(W), row_spec(W), row_spec(W),
                   row_spec(1), row_spec(1), row_spec(1),
-                  rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8)),
-                  rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8))],
+                  rep_spec((8, 8)), rep_spec((8, 8))],
         out_specs=[any_spec, any_spec, any_spec, row_spec(Q)],
         out_shape=[jax.ShapeDtypeStruct((B, Q, W), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((B, Q), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((SUB, BLK, W), jnp.float32)] * 3
         + [pltpu.SemaphoreType.DMA((3,))],
         interpret=interpret,
-    )(qs, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp, strand,
-      trans, me, ie, trans2, me2, ie2)
+    )(emis, shifts, inc, rc0, j0, m0, i0, d0, qlp, tlp, strand,
+      trans, trans2)
     return outs
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Q", "interpret"))
-def _pallas_bwd_tables(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0,
-                       qlp, tlp, strand, trans, me, ie, trans2, me2, ie2,
+def _pallas_bwd_tables(emis, shifts, inc, rcq, jq, bm0, bi0, bd0,
+                       qlp, tlp, strand, trans, trans2,
                        W: int, Q: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B = qnext.shape[0]
+    B = shifts.shape[0]
 
     def row_spec(ncols):
         return pl.BlockSpec((SUB, ncols), lambda g: (g, 0),
@@ -535,20 +526,19 @@ def _pallas_bwd_tables(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0,
     outs = pl.pallas_call(
         _bwd_tables_kernel,
         grid=(B // SUB,),
-        in_specs=[row_spec(Q), row_spec(Q), row_spec(Q), row_spec(Q),
+        in_specs=[row_spec(5 * Q), row_spec(Q), row_spec(Q),
                   row_spec(W), row_spec(W), row_spec(W), row_spec(W),
                   row_spec(W),
                   row_spec(1), row_spec(1), row_spec(1),
-                  rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8)),
-                  rep_spec((8, 8)), rep_spec((8, 8)), rep_spec((8, 8))],
+                  rep_spec((8, 8)), rep_spec((8, 8))],
         out_specs=[any_spec, any_spec, any_spec, row_spec(Q)],
         out_shape=[jax.ShapeDtypeStruct((B, Q, W), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((B, Q), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((SUB, BLK, W), jnp.float32)] * 3
         + [pltpu.SemaphoreType.DMA((3,))],
         interpret=interpret,
-    )(qnext, qprevn, shifts, inc, rcq, jq, bm0, bi0, bd0, qlp, tlp, strand,
-      trans, me, ie, trans2, me2, ie2)
+    )(emis, shifts, inc, rcq, jq, bm0, bi0, bd0, qlp, tlp, strand,
+      trans, trans2)
     return outs
 
 
@@ -688,10 +678,24 @@ def _tables_traced(prep, W: int, Q: int, interpret: bool):
     tlp = tl_col.astype(jnp.int32)
 
     strand_col = p["strand"][:, None].astype(jnp.int32)
+    # precomputed per-row emission streams (shared by fwd and bwd kernels):
+    # stream v<4 at index x = emit(ref=v, q[x]); stream 4 at x =
+    # ins_emit(q[x-1], q[x]); strand selection folded in here (sf is exactly
+    # 0/1, so the mix IS a select — bit-identical to the in-kernel version)
+    me_mix = ((1.0 - sf) * p["me8"].reshape(-1)[None, :]
+              + sf * p["me28"].reshape(-1)[None, :])          # (B, 64)
+    ie_mix = ((1.0 - sf) * p["ie8"].reshape(-1)[None, :]
+              + sf * p["ie28"].reshape(-1)[None, :])
+    qcq = jnp.clip(qs_p, 0, 3)
+    qpv = jnp.clip(jnp.concatenate(
+        [jnp.full((B, 1), 4, jnp.int32), qs_p[:, :-1]], axis=1), 0, 4)
+    emis = jnp.concatenate(
+        [jnp.take_along_axis(me_mix, r * 8 + qcq, axis=1) for r in range(4)]
+        + [jnp.take_along_axis(ie_mix, qpv * 8 + qcq, axis=1)],
+        axis=1).astype(jnp.float32)                           # (B, 5*Q)
     fM_r, fI_r, fD_r, f_ls = _pallas_fwd_tables(
-        qs_p, shifts32, inc_f, rc0, j0, M0n, I0n, D0n, qlp, tlp, strand_col,
-        p["trans"], p["me8"], p["ie8"], p["trans2"], p["me28"], p["ie28"],
-        W, Q, interpret)
+        emis, shifts32, inc_f, rc0, j0, M0n, I0n, D0n, qlp, tlp, strand_col,
+        p["trans"], p["trans2"], W, Q, interpret)
 
     # backward init at the frozen row (offsets beyond q_len are constant)
     bidx = np.arange(B)
@@ -712,18 +716,14 @@ def _tables_traced(prep, W: int, Q: int, interpret: bool):
     bI0n = (bI0 / sI).astype(jnp.float32)
     bD0n = (bD0 / sI).astype(jnp.float32)
     lsI = jnp.log(sI[:, 0]).astype(jnp.float32)
-    qnext = qs_p
-    qprev_arr = jnp.concatenate([jnp.full((B, 1), 4, jnp.int32),
-                                 qs_p[:, :-1]], axis=1)
     inc_b = gat(r_pad2, jnp.maximum(offs[:, :-1], 0)).astype(jnp.int32)
     rcq = gat(r_pad2, offs[:, -1:] + ks[None]).astype(jnp.int32)
     jq = (offs[:, -1:] + ks[None]).astype(jnp.int32)
 
     bM_r, bI_r, bD_r, b_ls = _pallas_bwd_tables(
-        qnext, qprev_arr, shifts32, inc_b, rcq, jq, bM0n, bI0n, bD0n,
+        emis, shifts32, inc_b, rcq, jq, bM0n, bI0n, bD0n,
         qlp, tlp, strand_col,
-        p["trans"], p["me8"], p["ie8"], p["trans2"], p["me28"], p["ie28"],
-        W, Q, interpret)
+        p["trans"], p["trans2"], W, Q, interpret)
 
     fM = jnp.concatenate([M0n[:, None], fM_r], axis=1)
     fI = jnp.concatenate([I0n[:, None], fI_r], axis=1)
