@@ -590,9 +590,37 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
 
     (The full per-read table block is (B, Tpad+1, NUM_EDIT) floats — tens of
     MB per 192-pair slice on the tunneled link; the stats + gathered columns
-    are under a MB.)"""
+    are under a MB.)
+
+    The resident tables are O(total_pairs * Tpad * NUM_EDIT) in HBM, so the
+    chunk set is processed in pair-bounded groups — each group's gather
+    completes (freeing its tables) before the next group's stats run.  A
+    1 Mb x 60x run (~40k pairs) OOM'd HBM without this."""
     from ..ops.modtable import modtable_pileup_stats_pallas
     from ..ops.banded_align import linear_offsets
+    # ~1.5 GB of resident f32 tables per group
+    import os
+    group_pairs = int(os.environ.get(
+        "JTK_TPU_GROUP_PAIRS",
+        max(1536, int(1.5e9) // ((int(Tpad) + 1) * NUM_EDIT * 4))))
+    total_pairs = sum(len(v[0]) for v in per_chunk.values())
+    if total_pairs > group_pairs:
+        out = {}
+        group: dict = {}
+        n = 0
+        for cid, v in per_chunk.items():
+            if n and n + len(v[0]) > group_pairs:
+                out.update(_variant_features_device(
+                    group, params_f, params_r, band, Tpad, gains, coverage,
+                    copy_nums))
+                group, n = {}, 0
+            group[cid] = v
+            n += len(v[0])
+        if group:
+            out.update(_variant_features_device(
+                group, params_f, params_r, band, Tpad, gains, coverage,
+                copy_nums))
+        return out
     order = list(per_chunk)
     pair_cid, pair_reads, pair_strand, pair_tpl, seg_ids = [], [], [], [], []
     for pos_c, cid in enumerate(order):
