@@ -1,13 +1,43 @@
 """Full-pipeline integration: FASTA -> TOML config -> run_pipeline -> GFA,
-with checkpoint files and resume (cli/src/pipeline.rs behavior)."""
+with checkpoint files and resume (cli/src/pipeline.rs behavior).
 
+The pipeline runs in a SUBPROCESS: inside a long full-suite process, jax's
+persistent-compilation-cache zstd layer segfaults (read or write) on the
+large model_tune executable — reproducibly at this test, never in a fresh
+process.  Subprocess isolation sidesteps the crash and also mirrors how the
+pipeline actually runs in production (one process per run).
+"""
+
+import json
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 from jtk_tpu.io import sim
+
+_RUNNER = r"""
+import json, os, sys
+REPO = sys.argv[4]
+sys.path.insert(0, REPO)
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from jtk_tpu.pipeline import PipelineConfig, run_pipeline
+from jtk_tpu.io.eval import assembly_metrics
+import numpy as np
+cfg = PipelineConfig(**json.load(open(sys.argv[1])))
+gfa_path = run_pipeline(cfg)
+hap1 = np.load(sys.argv[2])
+hap2 = np.load(sys.argv[3])
+m = assembly_metrics(open(gfa_path).read(), [hap1, hap2])
+cfg.resume = True
+gfa2 = run_pipeline(cfg)
+print(json.dumps({"gfa": gfa_path, "gfa2": gfa2, "metrics": m}))
+"""
 
 
 @pytest.mark.slow
@@ -25,22 +55,30 @@ def test_run_pipeline_end_to_end(tmp_path):
         from jtk_tpu import seq as seqmod
         for i, r in enumerate(reads):
             f.write(f">sim_{i}\n{seqmod.decode(r['codes']).decode()}\n")
-    cfg = PipelineConfig(
+    cfg = dict(
         input_file=str(fa), read_type="ONT", out_dir=str(tmp_path),
         prefix="t", region_size="6k", chunk_len=500, margin=100, seed=3,
         to_polish=True, polish_window_size=1000)
-    gfa_path = run_pipeline(cfg)
-    assert os.path.exists(gfa_path)
+    with open(tmp_path / "cfg.json", "w") as f:
+        json.dump(cfg, f)
+    np.save(tmp_path / "hap1.npy", hap1)
+    np.save(tmp_path / "hap2.npy", hap2)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _RUNNER,
+         str(tmp_path / "cfg.json"), str(tmp_path / "hap1.npy"),
+         str(tmp_path / "hap2.npy"), repo],
+        capture_output=True, text=True, timeout=1800,
+        env={**{k: v for k, v in os.environ.items()
+                if k != "PALLAS_AXON_POOL_IPS"},  # true CPU jax
+             "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-3000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert os.path.exists(rec["gfa"])
+    assert os.path.exists(rec["gfa2"])  # resume round-trip
     for name in ("t.entry.json", "t.encoded.json", "t.clustered.json",
                  "t.de.json", "t.json"):
         assert os.path.exists(tmp_path / name), name
-    with open(gfa_path) as f:
-        gfa = f.read()
-    from jtk_tpu.io.eval import assembly_metrics
-    m = assembly_metrics(gfa, [hap1, hap2])
+    m = rec["metrics"]
     assert m["total_len"] > 3500, m
     assert m["mean_error"] < 0.02, m
-    # resume: phases short-circuit from checkpoints
-    cfg.resume = True
-    gfa2 = run_pipeline(cfg)
-    assert os.path.exists(gfa2)
