@@ -690,8 +690,12 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
 
 def _batched_refresh_cigars(per_chunk, band, max_batch=512):
     """Banded global alignments of every (read, its-chunk-template) pair in
-    one sweep: {cid: [cigar]}."""
-    from ..ops.banded_align import align_with_cigar_batch, linear_offsets
+    one sweep: {cid: [cigar]}.  All batches are async-dispatched before any
+    is collected, so device compute/transfer overlaps host decode (on the
+    tunnel each collected batch otherwise pays the full RPC floor serially:
+    a 1Mb x 60x pileup is ~80 batches)."""
+    from ..ops.banded_align import (collect_align_cigar,
+                                    dispatch_align_cigar, linear_offsets)
     pair_cid, pair_reads, pair_tpl = [], [], []
     for cid, (reads, _strands, template) in per_chunk.items():
         for r in reads:
@@ -706,7 +710,7 @@ def _batched_refresh_cigars(per_chunk, band, max_batch=512):
                        + 127) // 128) * 128)
     Qpad = ((int(q_lens.max()) + 255) // 256) * 256
     Tmax = ((int(t_lens.max()) + 63) // 64) * 64
-    cigars = []
+    dispatched = []
     for s in range(0, len(pair_reads), max_batch):
         e = min(len(pair_reads), s + max_batch)
         B = e - s
@@ -718,9 +722,11 @@ def _batched_refresh_cigars(per_chunk, band, max_batch=512):
             rs[b, :t_lens[s + b]] = pair_tpl[s + b]
             offs[b] = linear_offsets(int(q_lens[s + b]), int(t_lens[s + b]),
                                      Qpad, Weff)
-        res = align_with_cigar_batch(qs, rs, offs, q_lens[s:e], t_lens[s:e],
-                                     Weff, "global")
-        cigars.extend(res["cigar"])
+        dispatched.append(dispatch_align_cigar(
+            qs, rs, offs, q_lens[s:e], t_lens[s:e], Weff, "global"))
+    cigars = []
+    for d in dispatched:
+        cigars.extend(collect_align_cigar(d)["cigar"])
     out = {}
     pair_cid = np.asarray(pair_cid)
     pos = 0
