@@ -41,7 +41,13 @@ def _build(name: str) -> str | None:
 
 
 def load(name: str):
-    """Load (building if needed) lib<name>.so; returns None on failure."""
+    """Load (building if needed) lib<name>.so; returns None on failure.
+    JTK_TPU_NATIVE=0 disables all native extensions (pure-numpy twins);
+    JTK_TPU_NATIVE_DISABLE=a,b disables specific libraries."""
+    if os.environ.get("JTK_TPU_NATIVE", "1") in ("0", "false"):
+        return None
+    if name in os.environ.get("JTK_TPU_NATIVE_DISABLE", "").split(","):
+        return None
     if name in _cache:
         return _cache[name]
     lib_path = _build(name)

@@ -77,7 +77,7 @@ int64_t cigar_expand(const uint8_t *bits, int64_t bytes_per_row,
       cur_len = len;
     };
 
-    emit(3, lead_d[b]);
+    emit(3, lead_d[b] > 0 ? lead_d[b] : 0);
     for (int32_t t = ql - 1; t >= 0; --t) {  // reversed rows = forward order
       emit(get_bit(row, t) ? 2 : 1, 1);
       emit(3, dels[t]);
