@@ -149,7 +149,7 @@ def run_bench(result: dict, backend: str):
     from jtk_tpu.stages.encode import encode
 
     rng = np.random.default_rng(42)
-    genome_len = 200_000
+    genome_len = int(os.environ.get("JTK_BENCH_REGION", 200_000))
     hap1, hap2 = sim.diploid(rng, genome_len, het=0.001)
     reads = sim.simulate_reads(rng, [hap1, hap2], coverage=24,
                                mean_len=18_000, error=0.05)
@@ -201,7 +201,8 @@ def run_bench(result: dict, backend: str):
     from jtk_tpu.stages.local_clustering import local_clustering
     # warm with the IDENTICAL subset (on a copy) so every production shape
     # — slice buckets AND scan lengths — is compiled before the timed pass
-    subset = {c.id for c in ds.selected_chunks[:16]}
+    n_sub = int(os.environ.get("JTK_BENCH_CHUNKS", 16))
+    subset = {c.id for c in ds.selected_chunks[:n_sub]}
     warm2 = copy.deepcopy(ds)
     t0 = time.time()
     local_clustering(warm2, flips_per_read=600, restarts=8,

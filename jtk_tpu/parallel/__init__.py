@@ -138,12 +138,12 @@ def make_train_step(mesh: Mesh, W: int, lr: float = 0.05,
         loss = jnp.sum(losses) / jnp.maximum(n, 1.0)
         return new_theta, loss
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
     return jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(P(), P("data"), P(), P("data"), P("data"), P(), P("data")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -178,12 +178,12 @@ def make_sharded_pileup_lk(mesh: Mesh, W: int):
         lks = jax.vmap(one)(qs, offsets, q_lens)
         return jax.lax.all_gather(lks, "data", tiled=True)
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
     return jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("data"), P(), P("data"), P("data"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -195,8 +195,8 @@ def make_sharded_kmer_hist(mesh: Mesh, n_bins: int):
         hist = jnp.zeros(n_bins, jnp.int32).at[kmers % n_bins].add(1)
         return jax.lax.psum(hist, "data")
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
     return jax.jit(shard_map(
         shard_fn, mesh=mesh, in_specs=(P("data"),), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     ))

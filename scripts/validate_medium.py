@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main():
+    import logging
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s %(name)s: %(message)s")
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
@@ -32,7 +35,9 @@ def main():
     hap1, hap2 = sim.diploid(rng, L, het=0.004)
     reads = sim.simulate_reads(rng, [hap1, hap2], coverage=cov,
                                mean_len=15_000, error=0.05, clip_ends=True)
-    out = "/tmp/validate_medium"
+    # per-(L, cov) work dir: resume=True must never pick up checkpoints from
+    # a DIFFERENT dataset scale
+    out = f"/tmp/validate_{L}_{int(cov)}"
     os.makedirs(out, exist_ok=True)
     fa = f"{out}/reads.fa"
     with open(fa, "w") as f:
