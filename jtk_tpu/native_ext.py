@@ -113,6 +113,53 @@ def kmer_vote_native(blob, lane_starts, lane_lens, lane_phases,
     return None
 
 
+def gotoh_skel_native(ch, cl, dr, offs, pairs, min_match: int,
+                      score_thr: int, n_threads: int | None = None):
+    """Threaded chunk-space Gotoh over skeleton pairs (deletion fill).
+
+    ch/cl (int32) and dr (uint8) are concatenated per-read skeletons with
+    offs (int64, n_reads+1); pairs is (P, 3) int32 rows (ri, qi, fwd).
+    Returns (pass uint8 (P,), kinds uint8, lens int32, starts int64 (P,),
+    counts int32 (P,)) — merged RLE ops per passing pair — or None when
+    the native library is unavailable."""
+    lib = load("gotoh_skel")
+    if lib is None:
+        return None
+    fn = lib.gotoh_skel
+    if not getattr(fn, "_configured", False):
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            _I32P, _I32P, _U8P, _I64P, ctypes.c_int32,
+            _I32P, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _U8P, _U8P, _I32P, _I64P, _I32P, ctypes.c_int64,
+        ]
+        fn._configured = True
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    ch = np.ascontiguousarray(ch, np.int32)
+    cl = np.ascontiguousarray(cl, np.int32)
+    dr = np.ascontiguousarray(dr, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    pairs = np.ascontiguousarray(pairs, np.int32)
+    P = len(pairs)
+    passed = np.empty(P, np.uint8)
+    starts = np.empty(P, np.int64)
+    counts = np.empty(P, np.int32)
+    cap = max(1024, 12 * P)
+    for _ in range(3):
+        kinds = np.empty(cap, np.uint8)
+        lens = np.empty(cap, np.int32)
+        n = fn(ch, cl, dr, offs, np.int32(len(offs) - 1),
+               pairs, np.int64(P), np.int32(min_match), np.int32(score_thr),
+               np.int32(n_threads), passed, kinds, lens, starts, counts,
+               np.int64(cap))
+        if n >= 0:
+            return passed, kinds[:n], lens[:n], starts, counts
+        cap = -n
+    return None
+
+
 def cigar_expand_native(bits, del_vals, del_idx, q_lens, lead_d):
     """Batched RLE cigar construction from packed traceback streams.
 

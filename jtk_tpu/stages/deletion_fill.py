@@ -332,6 +332,8 @@ def correct_deletion(ds: DataSet, re_cluster: bool = False,
 
 def _fill_once(ds, chunk_seqs, chunk_ascii, erm, failed, alive, read_ascii,
                read_codes, margin, W, changed_chunks) -> int:
+    import time as _time
+    _t0 = _time.time()
     skels = [_skeleton(er) for er in ds.encoded_reads]
     n_reads = len(skels)
     # chunk-match prefilter: shared (chunk, cluster, dir) keys
@@ -367,11 +369,18 @@ def _fill_once(ds, chunk_seqs, chunk_ascii, erm, failed, alive, read_ascii,
                 pairs.append((ri, qi, r <= f))
     if not pairs:
         return 0
-    # batched DP over pair chunks
+    _t1 = _time.time()
+    per_read_aligned = defaultdict(list)
+    if _align_pairs_native(skels, pairs, per_read_aligned):
+        logger.debug("deletion_fill: pair build %.1fs, native dp %.1fs",
+                     _t1 - _t0, _time.time() - _t1)
+        return _apply_alignments(ds, chunk_seqs, chunk_ascii, erm, failed,
+                                 alive, read_ascii, read_codes, margin, W,
+                                 changed_chunks, pairs, per_read_aligned)
+    # batched DP over pair chunks (numpy fallback)
     L = min(max((len(skels[r][0]) for r, _q, _d in pairs), default=1),
             MAX_SKEL)
     L = max(L, max((len(skels[q][0]) for _r, q, _d in pairs), default=1))
-    per_read_aligned = defaultdict(list)
     BATCH = 512
     for s0 in range(0, len(pairs), BATCH):
         grp = pairs[s0:s0 + BATCH]
@@ -406,6 +415,56 @@ def _fill_once(ds, chunk_seqs, chunk_ascii, erm, failed, alive, read_ascii,
                     or not _is_proper(ops):
                 continue
             per_read_aligned[ri].append((q_skel_or[b], ops))
+    return _apply_alignments(ds, chunk_seqs, chunk_ascii, erm, failed,
+                             alive, read_ascii, read_codes, margin, W,
+                             changed_chunks, pairs, per_read_aligned)
+
+
+def _align_pairs_native(skels, pairs, per_read_aligned) -> bool:
+    """Run the pair DP through the threaded C++ core (native/gotoh_skel.cc).
+
+    Fills ``per_read_aligned`` with (oriented_query_skeleton, ops) for every
+    pair passing the score/match/proper filters — identical to the numpy
+    batch path.  Returns False when the native library is unavailable (the
+    caller then uses the numpy fallback)."""
+    from ..native_ext import gotoh_skel_native
+    n_reads = len(skels)
+    offs = np.zeros(n_reads + 1, np.int64)
+    for i, sk in enumerate(skels):
+        offs[i + 1] = offs[i] + len(sk[0])
+    ch = np.empty(offs[-1], np.int32)
+    cl = np.empty(offs[-1], np.int32)
+    dr = np.empty(offs[-1], np.uint8)
+    for i, (c, l, d, _po, _ao) in enumerate(skels):
+        ch[offs[i]:offs[i + 1]] = c
+        cl[offs[i]:offs[i + 1]] = l
+        dr[offs[i]:offs[i + 1]] = d
+    parr = np.asarray([(ri, qi, 1 if f else 0) for ri, qi, f in pairs],
+                      np.int32).reshape(-1, 3)
+    res = gotoh_skel_native(ch, cl, dr, offs, parr, MIN_MATCH, SCORE_THR)
+    if res is None:
+        return False
+    passed, kinds, lens, starts, counts = res
+    km = {1: "M", 2: "I", 3: "D"}
+    rev_cache: dict = {}
+    for p, (ri, qi, is_fwd) in enumerate(pairs):
+        if not passed[p]:
+            continue
+        s0, n = int(starts[p]), int(counts[p])
+        ops = [(km[int(kinds[s0 + t])], int(lens[s0 + t])) for t in range(n)]
+        if is_fwd:
+            qs = skels[qi]
+        else:
+            qs = rev_cache.get(qi)
+            if qs is None:
+                qs = rev_cache[qi] = _rev_skeleton(skels[qi])
+        per_read_aligned[ri].append((qs, ops))
+    return True
+
+
+def _apply_alignments(ds, chunk_seqs, chunk_ascii, erm, failed, alive,
+                      read_ascii, read_codes, margin, W, changed_chunks,
+                      pairs, per_read_aligned) -> int:
     # votes -> candidates
     cands, meta = [], []
     for ri, aligned in per_read_aligned.items():
