@@ -49,10 +49,13 @@ ins-before-position j (so row Tpad alone can hold a trailing insertion).
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .phmm import EPS, PHMMParams, _emit_pad, backward_banded, forward_banded
 
@@ -491,6 +494,7 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
     else:
         B_slice = max(8, 1 << int(np.ceil(np.log2(max(B_all, 1)))))
     reduce = seg_ids is not None
+    n_seg_b = _bucket_nseg(n_seg) if reduce else n_seg
     from ..parallel import get_mesh
     if reduce and get_mesh() is None and B_all > B_slice:
         # single-dispatch path: every slice rides one lax.scan'd jit
@@ -508,7 +512,7 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
                 qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params,
                 ((int(W) + 127) // 128) * 128,
                 strands=st_s, params_rev=params_rev)
-            seg_p = np.full(B, n_seg, np.int32)
+            seg_p = np.full(B, n_seg_b, np.int32)
             seg_p[:e - s] = np.asarray(seg_ids)[s:e]
             preps.append(prep)
             segs.append(seg_p)
@@ -529,20 +533,20 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
             S = len(pg)
             # pad ragged tail groups to one stable compiled shape
             if g0 and S < SCAN_MAX:
-                dump = np.full_like(sg[0], n_seg)
+                dump = np.full_like(sg[0], n_seg_b)
                 while len(pg) < SCAN_MAX:
                     pg = pg + [pg[-1]]
                     sg = sg + [dump]
             stacked = {k: np.stack([p[k] for p in pg]) for k in pg[0]}
             lks_s, t = _fused_reduced_scan(stacked, np.stack(sg), Wr, Q,
-                                           Tpad, interpret, n_seg)
+                                           Tpad, interpret, n_seg_b)
             lks_s = np.asarray(lks_s)[:S]
             lk_parts.extend(lks_s)
             t = np.asarray(t, np.float64)
             tot = t if tot is None else tot + t
         lk_out = np.concatenate([lk_parts[i][:n]
                                  for i, n in enumerate(n_reals)])
-        return lk_out, tot
+        return lk_out, tot[:n_seg]
     lks, tabs = [], []
     totals = None
     for s in range(0, B_all, B_slice):
@@ -558,10 +562,10 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
             # padding rows repeat row 0's DATA but must not pollute its
             # segment — they point at the dump segment instead
             seg_s = np.concatenate([np.asarray(seg_ids)[s:e],
-                                    np.full(pad, n_seg, np.int64)])
+                                    np.full(pad, n_seg_b, np.int64)])
         lk, tab = _pileup_pallas_exact(
             qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params, W,
-            Tpad, interpret, st_s, params_rev, seg_ids=seg_s, n_seg=n_seg)
+            Tpad, interpret, st_s, params_rev, seg_ids=seg_s, n_seg=n_seg_b)
         lks.append(np.asarray(lk)[:e - s])
         if reduce:
             t = np.asarray(tab, np.float64)
@@ -569,12 +573,28 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
         else:
             tabs.append(np.asarray(tab)[:e - s])
     if reduce:
-        return np.concatenate(lks), totals
+        return np.concatenate(lks), totals[:n_seg]
     return np.concatenate(lks), np.concatenate(tabs)
 
 
 _PREP_BATCH_KEYS = ("qs_packed", "r_packed", "shifts", "off0", "q_lens_p",
                     "t_len", "strand")
+
+
+def _bucket_nseg(n: int) -> int:
+    """Segment-count bucket for the fused reduced/stats paths.  n_seg is a
+    STATIC jit arg, so every distinct template count would otherwise compile
+    its own scan program (~minutes each on the tunneled TPU) — at 1 Mb scale
+    polish rounds shrink the active-template set every round and the stats
+    groups split arbitrarily, so raw counts almost never repeat.  Buckets
+    {8,16,32, then 32-multiples} keep the compile space tiny; padding rows
+    land in unused segments that are sliced off host-side (the waste is
+    bounded at 31 rows of transfer)."""
+    if n <= 8:
+        return 8
+    if n <= 16:
+        return 16
+    return ((n + 31) // 32) * 32
 
 
 def _gain_segments(lk, tab, seg, n_seg: int):
@@ -765,9 +785,13 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
         B_slice = MAXB
     else:
         B_slice = max(8, 1 << int(np.ceil(np.log2(max(B_all, 1)))))
-    exp_pad = np.concatenate(  # +1 dump row for padding pairs
+    import time as _time
+    _t0 = _time.time()
+    n_seg_b = _bucket_nseg(n_seg)
+    exp_pad = np.concatenate(  # pad segments + 1 dump row for padding pairs
         [np.asarray(exp_mat, np.float32),
-         np.zeros((1,) + np.shape(exp_mat)[1:], np.float32)])
+         np.zeros((n_seg_b - n_seg + 1,) + np.shape(exp_mat)[1:],
+                  np.float32)])
     preps, segs, fwds, n_reals = [], [], [], []
     Q = None
     for s in range(0, B_all, B_slice):
@@ -777,11 +801,12 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
         tpl_s = tpl if tpl.ndim == 1 else tpl[sl]
         tl_s = t_len if np.ndim(t_len) == 0 else np.asarray(t_len)[sl]
         st_s = None if strands is None else np.asarray(strands)[sl]
-        seg_s = np.concatenate([seg_ids[s:e], np.full(pad, n_seg, np.int64)])
+        seg_s = np.concatenate([seg_ids[s:e],
+                                np.full(pad, n_seg_b, np.int64)])
         prep, B0, _Qpad, Q, B = _prep_tables_inputs(
             qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params, W,
             strands=st_s, params_rev=params_rev)
-        seg_p = np.full(B, n_seg, np.int32)
+        seg_p = np.full(B, n_seg_b, np.int32)
         seg_p[:B0] = seg_s
         fwd_p = np.ones(B, np.float32)
         if st_s is not None:
@@ -793,9 +818,9 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
     if len(preps) == 1:
         lk, st_out, tab = _pallas_modtable_fused_stats(
             preps[0], segs[0], exp_pad, fwds[0], W, Q, Tpad, interpret,
-            n_seg)
+            n_seg_b)
         lks = np.asarray(lk)[:n_reals[0]]
-        stats = np.asarray(st_out, np.float64)
+        stats = np.asarray(st_out, np.float64)[:n_seg]
         tabs, lk_d, seg_d = [tab[None]], [lk[None]], [segs[0][None]]
         grp_sizes = [1]
     else:
@@ -811,7 +836,7 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
             fg = fwds[g0:g0 + SCAN_MAX]
             S = len(pg)
             if g0 and S < SCAN_MAX:
-                dump = np.full_like(sg[0], n_seg)
+                dump = np.full_like(sg[0], n_seg_b)
                 while len(pg) < SCAN_MAX:
                     pg = pg + [pg[-1]]
                     sg = sg + [dump]
@@ -819,8 +844,8 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
             stacked = {k: np.stack([p[k] for p in pg]) for k in pg[0]}
             lkg, st_out, tabg = _fused_stats_scan(
                 stacked, np.stack(sg), exp_pad, np.stack(fg), W, Q, Tpad,
-                interpret, n_seg)
-            t = np.asarray(st_out, np.float64)
+                interpret, n_seg_b)
+            t = np.asarray(st_out, np.float64)[:n_seg]
             stats = t if stats is None else stats + t
             lk_parts.extend(np.asarray(lkg)[:S])
             tabs.append(tabg)
@@ -829,6 +854,9 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
             grp_sizes.append(S)
         lks = np.concatenate([lk_parts[i][:n]
                               for i, n in enumerate(n_reals)])
+    logger.info("modtable stats: %d pairs, %d slices, W=%d Q=%d n_seg=%d->%d"
+                " %.1fs", B_all, len(preps), W, Q, n_seg, n_seg_b,
+                _time.time() - _t0)
     Bs = preps[0]["q_lens_p"].shape[0]
 
     def gather(flat_cols):

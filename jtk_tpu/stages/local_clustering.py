@@ -649,10 +649,12 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
     exp_info = {cid: variant_exp_mat(per_chunk[cid][2], gains, Tpad + 1)
                 for cid in order}
     exp_mats = np.stack([exp_info[cid][0] for cid in order])
+    _t0 = time.time()
     _lks, stats, gather = modtable_pileup_stats_pallas(
         qs, tpl_mat, offs, q_lens, t_lens, params_f, Weff, Tpad,
         np.asarray(pair_strand, bool), params_r, np.asarray(seg_ids),
         len(order), exp_mats)
+    _t1 = time.time()
     cands = {}
     for pos_c, cid in enumerate(order):
         reads, strands, template = per_chunk[cid]
@@ -667,10 +669,15 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
             coverage, copy_nums[cid], exp_mat, hp, hp_idx)
         cands[cid] = (cand, scores)
     union = sorted({int(c) for cand, _s in cands.values() for c in cand})
+    _t2 = time.time()
     out = {}
     if not union:
         return {cid: (np.zeros(0, np.int64), None) for cid in order}
     raw, comp = gather(np.array(union, np.int64))
+    logger.info("variant features: stats %.1fs, candidates %.1fs, "
+                "gather %.1fs (%d chunks, %d cols)",
+                _t1 - _t0, _t2 - _t1, time.time() - _t2, len(order),
+                len(union))
     colpos = {c: i for i, c in enumerate(union)}
     pair_cid = np.asarray(pair_cid)
     for cid in order:
