@@ -19,6 +19,9 @@ from .modtable import NUM_EDIT, modification_table_pileup_sharded
 from .phmm import PHMMParams
 
 
+SPARSE_K = 512  # top-k gain candidates fetched per template (polish_many)
+
+
 def _pad_to(x, n, fill):
     out = np.full(n, fill, dtype=np.int8)
     out[: len(x)] = x
@@ -89,6 +92,26 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
             gain = tab - lk[:, None, None]
             total += np.where(tab < -1e29, -1e30, gain).sum(axis=0)
     return lks, total
+
+
+def choose_edits_sparse(idx, ev, vals, t_len: int, min_gain: float,
+                        spacing: int = 8):
+    """choose_edits from top-k (position, edit, gain) triples already sorted
+    by descending gain (ops.modtable.SparseGains rows).  Exact match of
+    choose_edits whenever every above-min_gain position is present."""
+    chosen = []
+    used = np.zeros(t_len + 2, bool)
+    for j, e, g in zip(idx, ev, vals):
+        if g <= min_gain:
+            break
+        if j > t_len:
+            continue
+        lo, hi = max(0, j - spacing), min(t_len + 1, j + spacing + 1)
+        if used[lo:hi].any():
+            continue
+        used[j] = True
+        chosen.append((int(j), int(e), float(g)))
+    return chosen
 
 
 def choose_edits(total_gain: np.ndarray, t_len: int, min_gain: float,
@@ -186,20 +209,22 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
         offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Weff)
                          for ql, tl in zip(q_lens, t_lens)])
         totals = {i: np.zeros((Tpad + 1, NUM_EDIT)) for i in idxs}
+        sparse = None
         pair_strand = np.asarray(pair_strand, bool)
         if pallas_on:
             # per-template gain totals reduce ON DEVICE (segment_sum over
-            # the pair axis): only (n_tpl, Tpad+1, NUM_EDIT) + the per-pair
-            # lks cross the link, not the 30x larger per-pair tables
+            # the pair axis) and come back SPARSE: top-k (gain, pos, edit)
+            # candidates per template — the dense totals stay in HBM (at
+            # 1 Mb consensus scale the dense fetch was 50+ MB per round
+            # over a ~5 MB/s tunnel)
             loc = {i: pos for pos, i in enumerate(idxs)}
             seg_ids = np.array([loc[i] for i in pair_tpl_idx], np.int32)
-            lk, tot = modification_table_pileup_pallas(
+            lk, sparse = modification_table_pileup_pallas(
                 qs, tpl_mat, offs, q_lens, t_lens, params, Weff, Tpad,
                 strands=pair_strand, params_rev=params_rev,
-                seg_ids=seg_ids, n_seg=len(idxs))
+                seg_ids=seg_ids, n_seg=len(idxs),
+                sparse_k=SPARSE_K, min_gain=min_gain)
             lk = np.asarray(lk, np.float64)
-            for i in idxs:
-                totals[i] = tot[loc[i]]
             for b in range(Bp):
                 lks[pair_tpl_idx[b]][pair_read_idx[b]] = lk[b]
         else:
@@ -223,8 +248,20 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
                     totals[i] += gain[b_pos]
                     lks[i][pair_read_idx[b]] = lk[b_pos]
         progressed = False
+        loc2 = {i: pos for pos, i in enumerate(idxs)}
         for i in idxs:
-            edits = choose_edits(totals[i], len(tpls[i]), min_gain, spacing)
+            if sparse is not None:
+                p = loc2[i]
+                if sparse.counts[p] <= sparse.k:
+                    edits = choose_edits_sparse(
+                        sparse.idx[p], sparse.ev[p], sparse.vals[p],
+                        len(tpls[i]), min_gain, spacing)
+                else:  # rare: more candidates than k — fetch that row dense
+                    edits = choose_edits(sparse.dense_row(p), len(tpls[i]),
+                                         min_gain, spacing)
+            else:
+                edits = choose_edits(totals[i], len(tpls[i]), min_gain,
+                                     spacing)
             if edits:
                 tpls[i] = apply_edits(tpls[i], edits)
                 progressed = True

@@ -478,7 +478,9 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                   for er in ds.encoded_reads]
     rng = np.random.default_rng(seed)
     cseqs = {}
+    import time as _time
     for _round in range(rounds):
+        t_round = _time.time()
         per_contig = _read_anchors(ds, contigs)
         any_change = False
         # ---- 1. gather every window of every contig (host) ----
@@ -525,15 +527,21 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                                      segs=segs, strands=strands))
         if not win_jobs:
             break
+        logger.info("consensus round %d: %d windows gathered (%.1fs)",
+                    _round, len(win_jobs), _time.time() - t_round)
         # ---- 2. batched segment trimming across all windows ----
+        t_trim = _time.time()
         kept = trim_segments_multi(
             [(j["template"], j["segs"]) for j in win_jobs], margin)
         for j, kp in zip(win_jobs, kept):
             j["segs"] = [s for s, _i in kp]
             j["strands"] = [j["strands"][i] for _s, i in kp]
+        logger.info("consensus round %d: trim done (%.1fs)",
+                    _round, _time.time() - t_trim)
         # ---- 3. batched polish (grouped to bound host-side prep) ----
         poll = [j for j in win_jobs if len(j["segs"]) >= min_cov]
         if poll:
+            t_pol = _time.time()
             band = max(ReadType.band_width(
                 ds.read_type, max(len(j["template"]) for j in poll)), 64)
             band = ((band + 127) // 128) * 128
@@ -547,6 +555,10 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                     params_rev=params_r)
                 for j, t in zip(grp, tpls):
                     j["template"] = np.asarray(t, np.int8)
+                logger.info("consensus round %d: polished %d/%d windows "
+                            "(%.1fs)", _round, min(g0 + polish_group,
+                                                   len(poll)), len(poll),
+                            _time.time() - t_pol)
         # ---- 4. per contig: raw flanks + batched stitches + re-anchor ----
         by_ci: dict[int, list] = {}
         for j in win_jobs:
@@ -580,6 +592,8 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                          len(out))
             _reanchor_tiles(contig, cseq, out)
             contig["seq"] = new_seq
+        logger.info("consensus round %d: done (%.1fs, changed=%s)",
+                    _round, _time.time() - t_round, any_change)
         if not any_change:
             break
     ds.push_stage("PolishContigs", [])

@@ -159,3 +159,40 @@ def test_pallas_modtable_reduced_totals_match_host():
                     tab0 - lk0[:, None, None])
     want = np.stack([gain[seg == s].sum(0) for s in range(3)])
     np.testing.assert_allclose(np.asarray(tot1), want, rtol=2e-4, atol=0.5)
+
+
+def test_pallas_modtable_sparse_gains_match_dense():
+    """sparse_k top-k fetch: the (gain, pos, edit) triples and counts must
+    agree with the dense totals (polish_many's 1 Mb-scale transfer saver)."""
+    from jtk_tpu.ops.modtable import modification_table_pileup_pallas
+    rng = np.random.default_rng(12)
+    params = PHMMParams.from_hmmparam(HMMParam())
+    template, qs, offs, q_lens, W = _prep_batch(rng, n_reads=9)
+    tlen = len(template)
+    tpl = np.asarray(template, np.int8)
+    seg = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2], np.int32)
+    _lk, tot = modification_table_pileup_pallas(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, tlen,
+        interpret=True, seg_ids=seg, n_seg=3)
+    min_gain = 0.1
+    _lk2, sp = modification_table_pileup_pallas(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, tlen,
+        interpret=True, seg_ids=seg, n_seg=3,
+        sparse_k=16, min_gain=min_gain)
+    assert sp.vals.shape == (3, 16)
+    best_g = tot.max(-1)
+    best_e = tot.argmax(-1)
+    for s in range(3):
+        np.testing.assert_array_equal(
+            sp.counts[s], int((best_g[s] > min_gain).sum()))
+        order = np.argsort(-best_g[s], kind="stable")[:16]
+        np.testing.assert_allclose(sp.vals[s], best_g[s][order], rtol=1e-5)
+        # positions agree wherever gains are not tied
+        ties = np.isclose(best_g[s][order][:-1], best_g[s][order][1:])
+        keep = ~np.concatenate([[False], ties]) & ~np.concatenate([ties,
+                                                                   [False]])
+        np.testing.assert_array_equal(sp.idx[s][keep], order[keep])
+        np.testing.assert_array_equal(
+            sp.ev[s][keep], best_e[s][order][keep])
+        # dense fallback row matches the dense totals
+        np.testing.assert_allclose(sp.dense_row(s), tot[s], rtol=1e-6)
