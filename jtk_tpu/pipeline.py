@@ -101,11 +101,28 @@ def run_pipeline(config: PipelineConfig) -> str:
 
     timings: dict = {}
 
+    # resume jumps straight to the FURTHEST existing checkpoint: loading
+    # every earlier one in sequence cost minutes each at 1 Mb+ scale
+    # (260 MB JSON per phase) for state that is immediately replaced
+    _order = ["entry", "encoded", "clustered", "de", "corrected"]
+    resume_to = None
+    if config.resume:
+        for _name in reversed(_order):
+            if os.path.exists(paths[_name]):
+                resume_to = _name
+                break
+
     def phase(name, fn, ds):
         path = paths[name]
-        if config.resume and os.path.exists(path):
-            logger.info("phase %s: resume from %s", name, path)
-            return DataSet.load(path)
+        if resume_to is not None:
+            i, j = _order.index(name), _order.index(resume_to)
+            if i < j:
+                logger.info("phase %s: skipped (later checkpoint %s exists)",
+                            name, resume_to)
+                return None
+            if i == j:
+                logger.info("phase %s: resume from %s", name, path)
+                return DataSet.load(path)
         t0 = time.time()
         ds = fn(ds)
         ds.dump(path)
@@ -121,7 +138,9 @@ def run_pipeline(config: PipelineConfig) -> str:
                 f.write(f"{k}\t{v:.1f}\n")
 
     # --- entry ---
-    if config.resume and os.path.exists(paths["entry"]):
+    if resume_to not in (None, "entry"):
+        ds = None  # a later phase checkpoint supersedes entry
+    elif resume_to == "entry":
         ds = DataSet.load(paths["entry"])
     else:
         ds = entry(config.input_file, config.read_type)
@@ -173,7 +192,6 @@ def run_pipeline(config: PipelineConfig) -> str:
         return ds
 
     ds = phase("corrected", corrected_phase, ds)
-    ds.dump(paths["corrected"])
 
     # --- assemble ---
     out_gfa = f"{stem}.gfa"
