@@ -80,6 +80,15 @@ class ReadType:
         return {"CCS": 0.1, "CLR": 1.0, "ONT": 0.7}.get(rt, 1.0)
 
     @staticmethod
+    def mapper_params(rt: str):
+        """(k, use_hpc_kmers) for the K4 read<->chunk mapper — mirrors the
+        reference's per-readtype minimap2 invocation (encode/mod.rs:344-349:
+        CCS ``-H -k18``, CLR ``-H -k15``, ONT ``-k17``; ``-H`` =
+        homopolymer-compressed seeds)."""
+        return {"CCS": (18, True), "CLR": (15, True),
+                "ONT": (17, False)}.get(rt, (15, False))
+
+    @staticmethod
     def weak_llr(rt: str) -> float:
         return 1.3
 

@@ -66,6 +66,21 @@ def pack_kmers(codes: np.ndarray, k: int):
     return val, ~badv
 
 
+def hpc_compress(codes: np.ndarray):
+    """Homopolymer-compress ``codes``: (compressed, raw_start_positions).
+
+    minimap2's ``-H`` seeds on the HPC sequence (reference invokes it for
+    CCS/CLR, encode/mod.rs:344-349); positions map back to raw coordinates
+    so diagonal voting still happens in raw space."""
+    codes = np.asarray(codes, np.int8)
+    if len(codes) == 0:
+        return codes, np.zeros(0, np.int64)
+    keep = np.ones(len(codes), bool)
+    keep[1:] = codes[1:] != codes[:-1]
+    idx = np.nonzero(keep)[0]
+    return codes[idx], idx
+
+
 @dataclass
 class Candidate:
     read_idx: int
@@ -80,17 +95,23 @@ class ChunkIndex:
     """Sorted k-mer table over the chunk set."""
 
     def __init__(self, chunk_seqs: dict[int, np.ndarray], k: int = 15,
-                 max_occ: int = 64):
+                 max_occ: int = 64, hpc: bool = False):
         self.k = k
         self.max_occ = max_occ
+        self.hpc = hpc
         self.chunk_len = {cid: len(s) for cid, s in chunk_seqs.items()}
         km, cid_arr, pos_arr = [], [], []
         for cid, codes in chunk_seqs.items():
-            vals, ok = pack_kmers(np.asarray(codes, np.int8), k)
+            codes = np.asarray(codes, np.int8)
+            if hpc:
+                codes, raw_idx = hpc_compress(codes)
+            vals, ok = pack_kmers(codes, k)
             idx = np.nonzero(ok)[0]
             km.append(vals[idx])
             cid_arr.append(np.full(len(idx), cid, np.int64))
-            pos_arr.append(idx.astype(np.int32))
+            # index stores RAW positions so read-vs-chunk diagonals live in
+            # raw coordinate space even under HPC seeding
+            pos_arr.append((raw_idx[idx] if hpc else idx).astype(np.int32))
         if km:
             km = np.concatenate(km)
             cid_arr = np.concatenate(cid_arr)
@@ -124,6 +145,10 @@ class ChunkIndex:
     def candidates_one_strand(self, codes: np.ndarray, read_idx: int,
                               is_forward: bool, min_hits: int, margin: int,
                               stride: int = 3):
+        codes = np.asarray(codes, np.int8)
+        raw_idx = None
+        if self.hpc:
+            codes, raw_idx = hpc_compress(codes)
         vals, ok = pack_kmers(codes, self.k)
         if stride > 1:
             sl = np.zeros_like(ok)
@@ -132,6 +157,8 @@ class ChunkIndex:
         rp, cid, cp = self._hits(vals, ok)
         if len(rp) == 0:
             return []
+        if raw_idx is not None:
+            rp = raw_idx[rp]
         diag = rp - cp
         BIN = 128
         dbin = diag // BIN
@@ -217,20 +244,29 @@ class ChunkIndex:
         k = self.k
         lane_codes = []
         lane_meta = []   # (read_idx, is_forward)
+        lane_raw = []    # hpc: per-lane raw positions of compressed chars
         for ri, codes in enumerate(read_codes):
-            lane_codes.append(np.asarray(codes, np.int8))
+            fwd = np.asarray(codes, np.int8)
+            rev = seqmod.revcomp(fwd)
+            if self.hpc:
+                fwd, fri = hpc_compress(fwd)
+                rev, rri = hpc_compress(rev)
+                lane_raw.extend([fri, rri])
+            lane_codes.append(fwd)
             lane_meta.append((ri, True))
-            lane_codes.append(seqmod.revcomp(np.asarray(codes, np.int8)))
+            lane_codes.append(rev)
             lane_meta.append((ri, False))
         lens = np.array([len(c) for c in lane_codes], np.int64)
         # separator of k-1 sentinel chars kills cross-boundary k-mers
         sep = np.full(k - 1, 7, np.int8)
         blob = np.concatenate([x for c in lane_codes for x in (c, sep)])
         starts = np.concatenate([[0], np.cumsum(lens + k - 1)])[:-1]
-        native = self._candidates_native(blob, starts, lens, lane_meta,
-                                         min_hits, margin, stride)
-        if native is not None:
-            return native
+        if not self.hpc:
+            # the native rolling scanner seeds on raw k-mers only
+            native = self._candidates_native(blob, starts, lens, lane_meta,
+                                             min_hits, margin, stride)
+            if native is not None:
+                return native
         vals, ok = pack_kmers(blob, k)
         if stride > 1:
             sl = np.zeros_like(ok)
@@ -241,6 +277,15 @@ class ChunkIndex:
             return []
         lane = np.searchsorted(starts, rp, "right") - 1
         rpos = rp - starts[lane]
+        if self.hpc:
+            # raw-coordinate read positions via a blob-parallel raw-position
+            # array (separator rows cannot match: sentinel 7 k-mers are
+            # invalid)
+            sep_raw = np.zeros(k - 1, np.int64)
+            rawpos_blob = np.concatenate(
+                [x for r in lane_raw for x in (r, sep_raw)]) \
+                if lane_raw else np.zeros(0, np.int64)
+            rpos = rawpos_blob[rp]
         diag = rpos - cp
         BIN = 128
         dbin = diag // BIN + (1 << 20)

@@ -456,7 +456,8 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
                                      strands=None,
                                      params_rev=None,
                                      seg_ids=None, n_seg=None,
-                                     sparse_k=None, min_gain=0.0):
+                                     sparse_k=None, min_gain=0.0,
+                                     finish=True):
     """Pallas-engine modification tables: the banded fwd/bwd wavefronts run
     in the fused VMEM-resident kernels (ops.pallas_phmm) streaming tables to
     HBM; the oracle-tested closed-form assembly then reads them — all in a
@@ -551,6 +552,8 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
             tot = t if tot is None else jnp.add(tot, t)
         lk_out = np.concatenate([lk_parts[i][:n]
                                  for i, n in enumerate(n_reals)])
+        if not finish:
+            return lk_out, tot  # device-resident (n_seg_b, Tpad+1, NUM_EDIT)
         return lk_out, _finish_gains(tot, n_seg, sparse_k, min_gain)
     lks, tabs = [], []
     totals = None
@@ -577,6 +580,8 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
         else:
             tabs.append(np.asarray(tab)[:e - s])
     if reduce:
+        if not finish:
+            return np.concatenate(lks), totals
         return np.concatenate(lks), _finish_gains(totals, n_seg, sparse_k,
                                                   min_gain)
     return np.concatenate(lks), np.concatenate(tabs)
@@ -601,6 +606,13 @@ class SparseGains:
 
     def dense_row(self, i):
         return np.asarray(self._dense_dev[i], np.float64)
+
+
+def finish_gains(tot_dev, n_seg, sparse_k, min_gain):
+    """Materialize accumulated device gain totals (e.g. summed across the
+    band-bucketed calls of ``modification_table_pileup_pallas(finish=False)``):
+    dense, or as SparseGains when ``sparse_k`` is set."""
+    return _finish_gains(tot_dev, n_seg, sparse_k, min_gain)
 
 
 def _finish_gains(tot_dev, n_seg, sparse_k, min_gain):

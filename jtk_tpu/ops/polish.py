@@ -12,7 +12,12 @@ until no improving edit remains.  The device work is batched over
 
 from __future__ import annotations
 
+import logging
+import time
+
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .banded_align import linear_offsets
 from .modtable import NUM_EDIT, modification_table_pileup_sharded
@@ -35,6 +40,38 @@ def effective_band(W: int, q_lens, t_len: int) -> int:
     return max(W, ((W // 2 + deficit + 127) // 128) * 128)
 
 
+BAND_MULTS = (1, 2, 4, 8)
+
+
+def band_buckets(q_lens, t_lens, W: int):
+    """Partition pair indices by the band each pair actually needs.
+
+    ``effective_band``'s batch-max let ONE short read (t_len - q_len large)
+    inflate the band for every pair in a batch — at 1 Mb consensus scale a
+    single truncated segment tripled the whole polish round's kernel cost
+    (the fused modtable is O(B·Q·W)).  Pairs are instead grouped into the
+    smallest band from {W, 2W, 4W, 8W} (lane-rounded) covering their own
+    deficit; pairs beyond 8W are returned as ``dropped`` (pathological —
+    the reference's purge_largeindel removes >100 bp indel encodings, so a
+    multi-hundred-bp deficit means a broken anchor, not signal).
+
+    Returns (list of (W_bucket, idx ndarray), dropped_idx ndarray)."""
+    q_lens = np.asarray(q_lens, np.int64)
+    t_lens = np.asarray(t_lens, np.int64)
+    deficit = np.maximum(t_lens - q_lens, 0)
+    req = np.maximum(W, ((W // 2 + deficit + 127) // 128) * 128)
+    out = []
+    assigned = np.zeros(len(req), bool)
+    for m in BAND_MULTS:
+        wb = ((W * m + 127) // 128) * 128
+        sel = (~assigned) & (req <= wb)
+        if sel.any():
+            out.append((int(wb), np.nonzero(sel)[0]))
+            assigned |= sel
+    dropped = np.nonzero(~assigned)[0]
+    return out, dropped
+
+
 def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
                               params: PHMMParams, W: int, Tpad: int,
                               max_batch: int = 256, strands=None,
@@ -52,45 +89,56 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
     t_len = len(template)
     tpl = _pad_to(template, Tpad, 4)
     R = len(reads)
-    Qpad = int(max(len(r) for r in reads))
-    Qpad = ((Qpad + 255) // 256) * 256
-    qs = np.stack([_pad_to(r, Qpad, 4) for r in reads])
     q_lens = np.array([len(r) for r in reads], np.int32)
-    W = effective_band(W, q_lens, t_len)
-    offs = np.stack([linear_offsets(int(l), t_len, Qpad, W) for l in q_lens])
     lks = np.zeros(R, np.float64)
     total = np.zeros((Tpad + 1, NUM_EDIT), np.float64)
-    from .modtable import modification_table_pileup_pallas, use_pallas
-    if use_pallas():
-        # one strand-merged dispatch; the gain total reduces on device
-        st = None if strands is None or params_rev is None \
-            else np.asarray(strands, bool)
-        lk, tot = modification_table_pileup_pallas(
-            qs, tpl, offs, q_lens, np.int32(t_len), params, W, Tpad,
-            strands=st, params_rev=params_rev,
-            seg_ids=np.zeros(R, np.int32), n_seg=1)
-        lks[:] = np.asarray(lk, np.float64)
-        total += tot[0]
-        return lks, total
-    if strands is None or params_rev is None:
-        groups = [(np.arange(R), params)]
-    else:
-        strands = np.asarray(strands, bool)
-        groups = [(np.nonzero(strands)[0], params),
-                  (np.nonzero(~strands)[0], params_rev)]
-    for idx, par in groups:
-        for s in range(0, len(idx), max_batch):
-            sel = idx[s:s + max_batch]
-            if len(sel) == 0:
-                continue
-            lk, tab = modification_table_pileup_sharded(
-                qs[sel], tpl, offs[sel], q_lens[sel], np.int32(t_len),
-                par, W, Tpad)
-            lk = np.asarray(lk, np.float64)
-            tab = np.asarray(tab, np.float64)
-            lks[sel] = lk
-            gain = tab - lk[:, None, None]
-            total += np.where(tab < -1e29, -1e30, gain).sum(axis=0)
+    from .modtable import (finish_gains, modification_table_pileup_pallas,
+                           use_pallas)
+    buckets, dropped = band_buckets(q_lens, np.full(R, t_len), W)
+    lks[dropped] = -1e30
+    pallas_on = use_pallas()
+    tot_dev = None
+    import jax.numpy as jnp
+    for Wb, bidx in buckets:
+        qlb = q_lens[bidx]
+        Qpad = ((int(qlb.max()) + 255) // 256) * 256
+        qs = np.stack([_pad_to(reads[b], Qpad, 4) for b in bidx])
+        offs = np.stack([linear_offsets(int(l), t_len, Qpad, Wb)
+                         for l in qlb])
+        if pallas_on:
+            # strand-merged dispatch; gain totals reduce on device and
+            # accumulate across band buckets
+            st = None if strands is None or params_rev is None \
+                else np.asarray(strands, bool)[bidx]
+            lk, tot = modification_table_pileup_pallas(
+                qs, tpl, offs, qlb, np.int32(t_len), params, Wb, Tpad,
+                strands=st, params_rev=params_rev,
+                seg_ids=np.zeros(len(bidx), np.int32), n_seg=1,
+                finish=False)
+            lks[bidx] = np.asarray(lk, np.float64)
+            tot_dev = tot if tot_dev is None else jnp.add(tot_dev, tot)
+            continue
+        if strands is None or params_rev is None:
+            groups = [(np.arange(len(bidx)), params)]
+        else:
+            st_b = np.asarray(strands, bool)[bidx]
+            groups = [(np.nonzero(st_b)[0], params),
+                      (np.nonzero(~st_b)[0], params_rev)]
+        for idx, par in groups:
+            for s in range(0, len(idx), max_batch):
+                sel = idx[s:s + max_batch]
+                if len(sel) == 0:
+                    continue
+                lk, tab = modification_table_pileup_sharded(
+                    qs[sel], tpl, offs[sel], qlb[sel], np.int32(t_len),
+                    par, Wb, Tpad)
+                lk = np.asarray(lk, np.float64)
+                tab = np.asarray(tab, np.float64)
+                lks[bidx[sel]] = lk
+                gain = tab - lk[:, None, None]
+                total += np.where(tab < -1e29, -1e30, gain).sum(axis=0)
+    if pallas_on and tot_dev is not None:
+        total += finish_gains(tot_dev, 1, None, 0.0)[0]
     return lks, total
 
 
@@ -179,6 +227,7 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
     pallas_on = use_pallas()
     Tpad = ((max((len(t) for t in tpls), default=1) + 127) // 128) * 128 + 128
     for _ in range(max_rounds):
+        _t_round = time.time()
         idxs = [i for i in range(n) if active[i]]
         if not idxs:
             break
@@ -196,57 +245,79 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
                                    else bool(strands[i][rj]))
         q_lens = np.array([len(r) for r in pair_reads], np.int32)
         t_lens = np.array([len(tpls[i]) for i in pair_tpl_idx], np.int32)
-        Weff = max(W, ((W // 2 + int(np.max(t_lens - q_lens, initial=0))
-                        + 127) // 128) * 128)
-        Qpad = ((int(q_lens.max()) + 255) // 256) * 256
         Bp = len(pair_reads)
-        qs = np.full((Bp, Qpad), 4, np.int8)
-        for b, r in enumerate(pair_reads):
-            qs[b, :len(r)] = r
-        tpl_mat = np.full((Bp, Tpad), 4, np.int8)
-        for b, i in enumerate(pair_tpl_idx):
-            tpl_mat[b, :len(tpls[i])] = tpls[i]
-        offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Weff)
-                         for ql, tl in zip(q_lens, t_lens)])
         totals = {i: np.zeros((Tpad + 1, NUM_EDIT)) for i in idxs}
         sparse = None
         pair_strand = np.asarray(pair_strand, bool)
-        if pallas_on:
-            # per-template gain totals reduce ON DEVICE (segment_sum over
-            # the pair axis) and come back SPARSE: top-k (gain, pos, edit)
-            # candidates per template — the dense totals stay in HBM (at
-            # 1 Mb consensus scale the dense fetch was 50+ MB per round
-            # over a ~5 MB/s tunnel)
-            loc = {i: pos for pos, i in enumerate(idxs)}
-            seg_ids = np.array([loc[i] for i in pair_tpl_idx], np.int32)
-            lk, sparse = modification_table_pileup_pallas(
-                qs, tpl_mat, offs, q_lens, t_lens, params, Weff, Tpad,
-                strands=pair_strand, params_rev=params_rev,
-                seg_ids=seg_ids, n_seg=len(idxs),
-                sparse_k=SPARSE_K, min_gain=min_gain)
-            lk = np.asarray(lk, np.float64)
-            for b in range(Bp):
-                lks[pair_tpl_idx[b]][pair_read_idx[b]] = lk[b]
-        else:
-            if params_rev is None:
-                groups = [(np.arange(Bp), params, None, None)]
-            else:
-                groups = [(np.nonzero(pair_strand)[0], params, None, None),
-                          (np.nonzero(~pair_strand)[0], params_rev, None,
-                           None)]
-            for sel, par, st, prev_ in groups:
-                if len(sel) == 0:
-                    continue
-                lk, tab = modification_table_pairs_sharded(
-                    qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
-                    t_lens[sel], par, Weff, Tpad)
+        loc = {i: pos for pos, i in enumerate(idxs)}
+        buckets, dropped = band_buckets(q_lens, t_lens, W)
+        if len(dropped):
+            # pathological pairs (deficit beyond 8W) are excluded; their
+            # reads keep an effectively -inf likelihood
+            for b in dropped:
+                lks[pair_tpl_idx[b]][pair_read_idx[b]] = -1e30
+        tot_dev = None
+        import jax.numpy as jnp
+        for Wb, bidx in buckets:
+            qlb = q_lens[bidx]
+            tlb = t_lens[bidx]
+            Qpad = ((int(qlb.max()) + 255) // 256) * 256
+            nb = len(bidx)
+            qs = np.full((nb, Qpad), 4, np.int8)
+            tpl_mat = np.full((nb, Tpad), 4, np.int8)
+            for p, b in enumerate(bidx):
+                r = pair_reads[b]
+                qs[p, :len(r)] = r
+                t = tpls[pair_tpl_idx[b]]
+                tpl_mat[p, :len(t)] = t
+            offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Wb)
+                             for ql, tl in zip(qlb, tlb)])
+            st_b = pair_strand[bidx]
+            if pallas_on:
+                # per-template gain totals reduce ON DEVICE (segment_sum
+                # over the pair axis) and accumulate across band buckets;
+                # the final fetch is SPARSE: top-k (gain, pos, edit)
+                # candidates per template — the dense totals stay in HBM
+                # (at 1 Mb consensus scale the dense fetch was 50+ MB per
+                # round over a ~5 MB/s tunnel)
+                seg_ids = np.array([loc[pair_tpl_idx[b]] for b in bidx],
+                                   np.int32)
+                lk, tot = modification_table_pileup_pallas(
+                    qs, tpl_mat, offs, qlb, tlb, params, Wb, Tpad,
+                    strands=st_b, params_rev=params_rev,
+                    seg_ids=seg_ids, n_seg=len(idxs), finish=False)
                 lk = np.asarray(lk, np.float64)
-                tab = np.asarray(tab, np.float64)
-                gain = np.where(tab < -1e29, -1e30, tab - lk[:, None, None])
-                for b_pos, b in enumerate(sel):
-                    i = pair_tpl_idx[b]
-                    totals[i] += gain[b_pos]
-                    lks[i][pair_read_idx[b]] = lk[b_pos]
+                for p, b in enumerate(bidx):
+                    lks[pair_tpl_idx[b]][pair_read_idx[b]] = lk[p]
+                tot_dev = tot if tot_dev is None else jnp.add(tot_dev, tot)
+            else:
+                if params_rev is None:
+                    groups = [(np.arange(nb), params)]
+                else:
+                    groups = [(np.nonzero(st_b)[0], params),
+                              (np.nonzero(~st_b)[0], params_rev)]
+                for sel, par in groups:
+                    if len(sel) == 0:
+                        continue
+                    lk, tab = modification_table_pairs_sharded(
+                        qs[sel], tpl_mat[sel], offs[sel], qlb[sel],
+                        tlb[sel], par, Wb, Tpad)
+                    lk = np.asarray(lk, np.float64)
+                    tab = np.asarray(tab, np.float64)
+                    gain = np.where(tab < -1e29, -1e30,
+                                    tab - lk[:, None, None])
+                    for p, b_pos in enumerate(sel):
+                        b = bidx[b_pos]
+                        i = pair_tpl_idx[b]
+                        totals[i] += gain[p]
+                        lks[i][pair_read_idx[b]] = lk[p]
+        if pallas_on and tot_dev is not None:
+            from .modtable import finish_gains
+            sparse = finish_gains(tot_dev, len(idxs), SPARSE_K, min_gain)
+        logger.debug("polish_many round: %d tpls, %d pairs, buckets %s, "
+                     "%d dropped (%.1fs)", len(idxs), Bp,
+                     [(w, len(ix)) for w, ix in buckets], len(dropped),
+                     time.time() - _t_round)
         progressed = False
         loc2 = {i: pos for pos, i in enumerate(idxs)}
         for i in idxs:

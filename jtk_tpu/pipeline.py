@@ -172,6 +172,10 @@ def run_pipeline(config: PipelineConfig) -> str:
 
     # --- de phase (pipeline.rs:161-170) ---
     def de_phase(ds):
+        # reference runs ds.purge() TWICE (cli/src/pipeline.rs:164-166):
+        # the second pass catches clusters exposed by the first's
+        # re-clustering
+        purge_diverged(ds)
         purge_diverged(ds)
         purge_largeindel(ds)
         correct_deletion(ds, re_cluster=True)

@@ -257,69 +257,103 @@ def dump_coverage(ds: DataSet, contigs, path: str, window: int = 1000,
 
 
 def dump_sam(ds: DataSet, contigs, path: str, names=None, W: int = 128,
-             max_reads: int | None = None, batch: int = 64):
+             max_reads: int | None = None, cell_budget: int = 1 << 31,
+             max_batch: int = 512):
     """{prefix}.sam — read-to-contig alignments re-derived from the chunk-space
-    anchors, refined by banded global alignments (batched per contig)."""
-    from ..ops.banded_align import align_with_cigar_batch
-    from ..ops.polish import effective_band
+    anchors, refined by banded global alignments.
+
+    Alignments are gathered ACROSS contigs, grouped by (query-pad,
+    template-pad, band) POWER-OF-TWO buckets, and all batches are async-
+    dispatched before any is collected.  The previous per-contig batch=64
+    loop recomputed pads from each batch's max length — at 1 Mb scale (~4k
+    full-length reads) that meant dozens of distinct compiled shapes and a
+    serial RPC round-trip per batch: the SAM dump cost ~50 min of the
+    assemble phase.  Bucketing holds the compiled-shape count at ~a dozen
+    and lets device compute overlap host decode."""
+    from ..ops.banded_align import collect_align_cigar, dispatch_align_cigar
+    import time as _time
+    t0 = _time.time()
     per_contig = _read_anchors(ds, contigs)
+    # ---- gather every candidate alignment across contigs ----
+    entries = []  # (ci, rid, sign, seg, cs, tpl)
+    for ci, contig in enumerate(contigs):
+        cseq = seqmod.encode(contig["seq"])
+        aligns = per_contig.get(ci, [])
+        if max_reads:
+            aligns = aligns[:max_reads]
+        for ri, sign, chain in aligns:
+            er = ds.encoded_reads[ri]
+            codes = seqmod.encode(er.recover_raw_read())
+            rs = min(a[0] for a in chain)
+            re_ = max(a[1] for a in chain)
+            cs = min(a[2] for a in chain)
+            ce = min(max(a[3] for a in chain), len(cseq))
+            seg = codes[rs:re_]
+            if sign < 0:
+                seg = seqmod.revcomp(seg)
+            tpl = cseq[cs:ce]
+            if len(seg) < 32 or len(tpl) < 32 or \
+                    len(tpl) - len(seg) > len(tpl) // 3:
+                continue
+            entries.append((ci, er.id, sign, seg, cs, tpl))
+    # ---- group by padded-shape bucket ----
+    def bucket(n, lo=2048):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    groups: dict = {}
+    for ei, (_ci, _rid, _sign, seg, _cs, tpl) in enumerate(entries):
+        deficit = max(len(tpl) - len(seg), 0)
+        wb = max(W, 128)
+        while wb - 64 < deficit and wb < 2048:
+            wb *= 2
+        if len(tpl) - len(seg) >= wb - 1:
+            continue  # pathological; no SAM line (matches old ok=False skip)
+        groups.setdefault((bucket(len(seg)), bucket(len(tpl)), wb),
+                          []).append(ei)
+    # ---- dispatch all batches, then collect ----
+    cigars: dict = {}
+    handles = []
+    for (Qpad, Tpad, band), eis in sorted(groups.items()):
+        B = max(8, min(max_batch, cell_budget // (Qpad * band)))
+        for s0 in range(0, len(eis), B):
+            grp = eis[s0:s0 + B]
+            qs = np.full((len(grp), Qpad), 4, np.int8)
+            rs_arr = np.full((len(grp), Tpad), 4, np.int8)
+            offs = np.zeros((len(grp), Qpad + 1), np.int32)
+            q_lens = np.zeros(len(grp), np.int32)
+            t_lens = np.zeros(len(grp), np.int32)
+            for b, ei in enumerate(grp):
+                seg, tpl = entries[ei][3], entries[ei][5]
+                qs[b, :len(seg)] = seg
+                rs_arr[b, :len(tpl)] = tpl
+                q_lens[b], t_lens[b] = len(seg), len(tpl)
+                offs[b] = linear_offsets(len(seg), len(tpl), Qpad, band)
+            handles.append((grp, dispatch_align_cigar(
+                qs, rs_arr, offs, q_lens, t_lens, band, "global")))
+    for grp, h in handles:
+        res = collect_align_cigar(h)
+        for b, ei in enumerate(grp):
+            cigars[ei] = res["cigar"][b]
+    logger.info("dump_sam: %d alignments, %d shape buckets (%.1fs)",
+                len(entries), len(groups), _time.time() - t0)
+    # ---- emit in per-contig order ----
     with open(path, "w") as f:
         f.write("@HD\tVN:1.6\tSO:unsorted\n")
         for ci, contig in enumerate(contigs):
             name = names[ci] if names else f"tig_{ci:04d}"
             f.write(f"@SQ\tSN:{name}\tLN:{len(contig['seq'])}\n")
-        for ci, contig in enumerate(contigs):
+        for ei, (ci, rid, sign, seg, cs, _tpl) in enumerate(entries):
+            if ei not in cigars:
+                continue
             name = names[ci] if names else f"tig_{ci:04d}"
-            cseq = seqmod.encode(contig["seq"])
-            aligns = per_contig.get(ci, [])
-            if max_reads:
-                aligns = aligns[:max_reads]
-            entries = []
-            for ri, sign, chain in aligns:
-                er = ds.encoded_reads[ri]
-                codes = seqmod.encode(er.recover_raw_read())
-                rs = min(a[0] for a in chain)
-                re_ = max(a[1] for a in chain)
-                cs = min(a[2] for a in chain)
-                ce = min(max(a[3] for a in chain), len(cseq))
-                seg = codes[rs:re_]
-                if sign < 0:
-                    seg = seqmod.revcomp(seg)
-                tpl = cseq[cs:ce]
-                if len(seg) < 32 or len(tpl) < 32 or \
-                        len(tpl) - len(seg) > len(tpl) // 3:
-                    continue
-                entries.append((er.id, sign, seg, cs, tpl))
-            for s0 in range(0, len(entries), batch):
-                grp = entries[s0:s0 + batch]
-                Qpad = ((max(len(e[2]) for e in grp) + 127) // 128) * 128
-                Tpad = ((max(len(e[4]) for e in grp) + 127) // 128) * 128
-                q_lens = np.array([len(e[2]) for e in grp], np.int32)
-                t_lens = np.array([len(e[4]) for e in grp], np.int32)
-                deficit = int(np.max(t_lens - q_lens))
-                band = max(W, ((W // 2 + max(deficit, 0) + 127) // 128) * 128)
-                qs = np.full((len(grp), Qpad), 4, np.int8)
-                rs_arr = np.full((len(grp), Tpad), 4, np.int8)
-                offs = np.zeros((len(grp), Qpad + 1), np.int32)
-                ok = np.ones(len(grp), bool)
-                for b, (_id, _sg, seg, _cs, tpl) in enumerate(grp):
-                    qs[b, :len(seg)] = seg
-                    rs_arr[b, :len(tpl)] = tpl
-                    try:
-                        offs[b] = linear_offsets(len(seg), len(tpl), Qpad,
-                                                 band)
-                    except AssertionError:
-                        ok[b] = False
-                res = align_with_cigar_batch(qs, rs_arr, offs, q_lens,
-                                             t_lens, band, "global")
-                for b, (rid, sign, seg, cs, _tpl) in enumerate(grp):
-                    if not ok[b]:
-                        continue
-                    cigar = "".join(f"{l}{k}" for k, l in res["cigar"][b])
-                    flag = 0 if sign > 0 else 16
-                    seq_str = seqmod.decode(seg).decode()
-                    f.write(f"{rid}\t{flag}\t{name}\t{cs + 1}\t60\t{cigar}"
-                            f"\t*\t0\t0\t{seq_str}\t*\n")
+            cigar = "".join(f"{l}{k}" for k, l in cigars[ei])
+            flag = 0 if sign > 0 else 16
+            seq_str = seqmod.decode(seg).decode()
+            f.write(f"{rid}\t{flag}\t{name}\t{cs + 1}\t60\t{cigar}"
+                    f"\t*\t0\t0\t{seq_str}\t*\n")
 
 
 def _remap_tiles(contig, part_old_starts, part_new_starts, old_len, new_len):
@@ -486,12 +520,21 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
     rng = np.random.default_rng(seed)
     cseqs = {}
     import time as _time
+    # windows whose template changed in the previous round, per contig:
+    # {ci: (n_win, set(wi))}.  A window is re-polished only while it or a
+    # neighbour is still moving — converged regions of the contig drop out
+    # of rounds 1+ entirely (the reference's per-window
+    # polish_until_converge achieves the same, consensus/mod.rs:445-496;
+    # whole-round re-polish of stable windows was ~2/3 of round-1/2 cost
+    # at 1 Mb scale)
+    changed_prev = None
     for _round in range(rounds):
         t_round = _time.time()
         per_contig = _read_anchors(ds, contigs)
         any_change = False
         # ---- 1. gather every window of every contig (host) ----
         win_jobs = []
+        nwin_ci = {}
         for ci, contig in enumerate(contigs):
             cseq = seqmod.encode(contig["seq"])
             cseqs[ci] = cseq
@@ -501,6 +544,9 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
             if not aligns:
                 continue
             n_win = max((len(cseq) + window - 1) // window, 1)
+            nwin_ci[ci] = n_win
+            prev = changed_prev.get(ci) if changed_prev is not None else None
+            stable_grid = prev is not None and prev[0] == n_win
             spans = [(min(a[2] for a in chain), max(a[3] for a in chain))
                      for _ri, _sign, chain in aligns]
             for wi in range(n_win):
@@ -508,6 +554,8 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                 w1 = min(w0 + window, len(cseq))
                 ext0 = max(w0 - overlap, 0)
                 ext1 = min(w1 + overlap, len(cseq))
+                skip = stable_grid and \
+                    not ({wi - 1, wi, wi + 1} & prev[1])
                 # terminal windows: polish only the min_cov-covered
                 # subrange and keep the uncovered flanks raw
                 s0, s1 = _terminal_shrink(
@@ -515,38 +563,43 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                     ext0, ext1, w0, w1, n_win, wi, min_cov)
                 template = cseq[s0:s1]
                 segs, strands = [], []
-                for (ri, sign, chain), (cs0, ce1) in zip(aligns, spans):
-                    if ce1 <= s0 or cs0 >= s1:
-                        continue
-                    if cs0 > s0 + 50 or ce1 < s1 - 50:
-                        continue
-                    seg = _window_segment(read_codes[ri], sign, chain,
-                                          s0, s1, margin)
-                    if seg is not None:
-                        segs.append(seg)
-                        strands.append(sign > 0)
-                if len(segs) > cap:
-                    idx = rng.permutation(len(segs))[:cap]
-                    segs = [segs[i] for i in idx]
-                    strands = [strands[i] for i in idx]
-                win_jobs.append(dict(ci=ci, ext0=ext0, ext1=ext1,
+                if not skip:
+                    for (ri, sign, chain), (cs0, ce1) in zip(aligns, spans):
+                        if ce1 <= s0 or cs0 >= s1:
+                            continue
+                        if cs0 > s0 + 50 or ce1 < s1 - 50:
+                            continue
+                        seg = _window_segment(read_codes[ri], sign, chain,
+                                              s0, s1, margin)
+                        if seg is not None:
+                            segs.append(seg)
+                            strands.append(sign > 0)
+                    if len(segs) > cap:
+                        idx = rng.permutation(len(segs))[:cap]
+                        segs = [segs[i] for i in idx]
+                        strands = [strands[i] for i in idx]
+                win_jobs.append(dict(ci=ci, wi=wi, ext0=ext0, ext1=ext1,
                                      s0=s0, s1=s1, template=template,
-                                     segs=segs, strands=strands))
+                                     segs=segs, strands=strands,
+                                     skip=skip, was_changed=False))
         if not win_jobs:
             break
-        logger.info("consensus round %d: %d windows gathered (%.1fs)",
-                    _round, len(win_jobs), _time.time() - t_round)
-        # ---- 2. batched segment trimming across all windows ----
+        n_skip = sum(j["skip"] for j in win_jobs)
+        logger.info("consensus round %d: %d windows gathered, %d converged-"
+                    "skipped (%.1fs)", _round, len(win_jobs), n_skip,
+                    _time.time() - t_round)
+        # ---- 2. batched segment trimming across all active windows ----
         t_trim = _time.time()
+        act = [j for j in win_jobs if not j["skip"]]
         kept = trim_segments_multi(
-            [(j["template"], j["segs"]) for j in win_jobs], margin)
-        for j, kp in zip(win_jobs, kept):
+            [(j["template"], j["segs"]) for j in act], margin)
+        for j, kp in zip(act, kept):
             j["segs"] = [s for s, _i in kp]
             j["strands"] = [j["strands"][i] for _s, i in kp]
         logger.info("consensus round %d: trim done (%.1fs)",
                     _round, _time.time() - t_trim)
         # ---- 3. batched polish (grouped to bound host-side prep) ----
-        poll = [j for j in win_jobs if len(j["segs"]) >= min_cov]
+        poll = [j for j in act if len(j["segs"]) >= min_cov]
         if poll:
             t_pol = _time.time()
             band = max(ReadType.band_width(
@@ -561,7 +614,11 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                     strands=[np.array(j["strands"], bool) for j in grp],
                     params_rev=params_r)
                 for j, t in zip(grp, tpls):
-                    j["template"] = np.asarray(t, np.int8)
+                    t = np.asarray(t, np.int8)
+                    if len(t) != len(j["template"]) or \
+                            not np.array_equal(t, j["template"]):
+                        j["was_changed"] = True
+                    j["template"] = t
                 logger.info("consensus round %d: polished %d/%d windows "
                             "(%.1fs)", _round, min(g0 + polish_group,
                                                    len(poll)), len(poll),
@@ -599,8 +656,13 @@ def polish_contigs(ds: DataSet, contigs, window: int = 2000,
                          len(out))
             _reanchor_tiles(contig, cseq, out)
             contig["seq"] = new_seq
-        logger.info("consensus round %d: done (%.1fs, changed=%s)",
-                    _round, _time.time() - t_round, any_change)
+        changed_prev = {ci: (nwin_ci[ci],
+                             {j["wi"] for j in jobs if j["was_changed"]})
+                        for ci, jobs in by_ci.items()}
+        n_changed = sum(len(v[1]) for v in changed_prev.values())
+        logger.info("consensus round %d: done (%.1fs, changed=%s, "
+                    "%d windows moved)", _round, _time.time() - t_round,
+                    any_change, n_changed)
         if not any_change:
             break
     ds.push_stage("PolishContigs", [])

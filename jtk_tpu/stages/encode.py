@@ -89,13 +89,18 @@ def nodes_to_encoded_read(read_id, read_ascii, nodes, cluster_num):
 
 
 def encode(ds: DataSet, sim_thr: float | None = None, margin: int = 200,
-           min_hits: int = 4, W: int = 256, k: int = 15,
+           min_hits: int = 4, W: int = 256, k: int | None = None,
            stride: int = 3) -> DataSet:
     if sim_thr is None:
         sim_thr = ReadType.sim_thr(ds.read_type)
+    # per-readtype seeding (reference: minimap2 -k{15,17,18} [-H],
+    # encode/mod.rs:344-349)
+    k_rt, hpc = ReadType.mapper_params(ds.read_type)
+    if k is None:
+        k = k_rt
     chunk_seqs = {c.id: c.codes() for c in ds.selected_chunks}
     cluster_num = {c.id: c.cluster_num for c in ds.selected_chunks}
-    index = ChunkIndex(chunk_seqs, k=k)
+    index = ChunkIndex(chunk_seqs, k=k, hpc=hpc)
     read_ascii = [r.seq for r in ds.raw_reads]
     read_codes = [seqmod.encode(s) for s in read_ascii]
     cands = index.candidates_batch(read_codes, min_hits=min_hits,

@@ -530,48 +530,53 @@ def _batched_profiles(per_chunk, params_f, params_r, band, Tpad,
             pair_tpl.append(template)
     if not pair_reads:
         return {}
+    from ..ops.polish import band_buckets
     q_lens = np.array([len(r) for r in pair_reads], np.int32)
     t_lens = np.array([len(t) for t in pair_tpl], np.int32)
-    Weff = max(band, ((band // 2 + int(np.max(t_lens - q_lens, initial=0))
-                       + 127) // 128) * 128)
-    Qpad = ((int(q_lens.max()) + 255) // 256) * 256
     Bp = len(pair_reads)
-    qs = np.full((Bp, Qpad), 4, np.int8)
-    tpl_mat = np.full((Bp, Tpad), 4, np.int8)
-    for b, (r, t) in enumerate(zip(pair_reads, pair_tpl)):
-        qs[b, :len(r)] = r
-        tpl_mat[b, :len(t)] = t
-    offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Weff)
-                     for ql, tl in zip(q_lens, t_lens)])
     lks_all = np.zeros(Bp)
     profs_all = np.zeros((Bp, (Tpad + 1) * NUM_EDIT), np.float32)
     pair_strand = np.asarray(pair_strand, bool)
-    if pallas_on:
-        # one strand-merged pass (per-pair parameter select in-kernel)
-        lk, tab = modification_table_pileup_pallas(
-            qs, tpl_mat, offs, q_lens, t_lens, params_f, Weff, Tpad,
-            strands=pair_strand, params_rev=params_r)
-        lk = np.asarray(lk)
-        tab = np.asarray(tab)
-        g = np.where(tab < -1e29, 0.0, tab - lk[:, None, None])
-        lks_all[:] = lk
-        profs_all[:] = g.reshape(Bp, -1)
-    else:
-        for fwd in (True, False):
-            idx = np.nonzero(pair_strand == fwd)[0]
-            par = params_f if fwd else params_r
-            for s in range(0, len(idx), max_batch):
-                sel = idx[s:s + max_batch]
-                if len(sel) == 0:
-                    continue
-                lk, tab = modification_table_pairs_sharded(
-                    qs[sel], tpl_mat[sel], offs[sel], q_lens[sel],
-                    t_lens[sel], par, Weff, Tpad)
-                lk = np.asarray(lk)
-                tab = np.asarray(tab)
-                g = np.where(tab < -1e29, 0.0, tab - lk[:, None, None])
-                lks_all[sel] = lk
-                profs_all[sel] = g.reshape(len(sel), -1)
+    buckets, dropped = band_buckets(q_lens, t_lens, band)
+    lks_all[dropped] = -1e30
+    for Wb, bidx in buckets:
+        qlb, tlb = q_lens[bidx], t_lens[bidx]
+        Qpad = ((int(qlb.max()) + 255) // 256) * 256
+        nb = len(bidx)
+        qs = np.full((nb, Qpad), 4, np.int8)
+        tpl_mat = np.full((nb, Tpad), 4, np.int8)
+        for p, b in enumerate(bidx):
+            qs[p, :len(pair_reads[b])] = pair_reads[b]
+            tpl_mat[p, :len(pair_tpl[b])] = pair_tpl[b]
+        offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Wb)
+                         for ql, tl in zip(qlb, tlb)])
+        st_b = pair_strand[bidx]
+        if pallas_on:
+            # one strand-merged pass (per-pair parameter select in-kernel)
+            lk, tab = modification_table_pileup_pallas(
+                qs, tpl_mat, offs, qlb, tlb, params_f, Wb, Tpad,
+                strands=st_b, params_rev=params_r)
+            lk = np.asarray(lk)
+            tab = np.asarray(tab)
+            g = np.where(tab < -1e29, 0.0, tab - lk[:, None, None])
+            lks_all[bidx] = lk
+            profs_all[bidx] = g.reshape(nb, -1)
+        else:
+            for fwd in (True, False):
+                idx = np.nonzero(st_b == fwd)[0]
+                par = params_f if fwd else params_r
+                for s in range(0, len(idx), max_batch):
+                    sel = idx[s:s + max_batch]
+                    if len(sel) == 0:
+                        continue
+                    lk, tab = modification_table_pairs_sharded(
+                        qs[sel], tpl_mat[sel], offs[sel], qlb[sel],
+                        tlb[sel], par, Wb, Tpad)
+                    lk = np.asarray(lk)
+                    tab = np.asarray(tab)
+                    g = np.where(tab < -1e29, 0.0, tab - lk[:, None, None])
+                    lks_all[bidx[sel]] = lk
+                    profs_all[bidx[sel]] = g.reshape(len(sel), -1)
     out = {}
     pair_cid = np.asarray(pair_cid)
     for cid in per_chunk:
@@ -633,27 +638,45 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
             seg_ids.append(pos_c)
     if not pair_reads:
         return {}
+    from ..ops.polish import band_buckets
     q_lens = np.array([len(r) for r in pair_reads], np.int32)
     t_lens = np.array([len(t) for t in pair_tpl], np.int32)
-    Weff = max(band, ((band // 2 + int(np.max(t_lens - q_lens, initial=0))
-                       + 127) // 128) * 128)
-    Qpad = ((int(q_lens.max()) + 255) // 256) * 256
     Bp = len(pair_reads)
-    qs = np.full((Bp, Qpad), 4, np.int8)
-    tpl_mat = np.full((Bp, Tpad), 4, np.int8)
-    for b, (r, t) in enumerate(zip(pair_reads, pair_tpl)):
-        qs[b, :len(r)] = r
-        tpl_mat[b, :len(t)] = t
-    offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Weff)
-                     for ql, tl in zip(q_lens, t_lens)])
+    pair_strand = np.asarray(pair_strand, bool)
+    seg_ids = np.asarray(seg_ids)
     exp_info = {cid: variant_exp_mat(per_chunk[cid][2], gains, Tpad + 1)
                 for cid in order}
     exp_mats = np.stack([exp_info[cid][0] for cid in order])
     _t0 = time.time()
-    _lks, stats, gather = modtable_pileup_stats_pallas(
-        qs, tpl_mat, offs, q_lens, t_lens, params_f, Weff, Tpad,
-        np.asarray(pair_strand, bool), params_r, np.asarray(seg_ids),
-        len(order), exp_mats)
+    buckets, _dropped = band_buckets(q_lens, t_lens, band)
+    stats = None
+    bucket_gathers = []  # (bidx, gather)
+    for Wb, bidx in buckets:
+        qlb, tlb = q_lens[bidx], t_lens[bidx]
+        Qpad = ((int(qlb.max()) + 255) // 256) * 256
+        nb = len(bidx)
+        qs = np.full((nb, Qpad), 4, np.int8)
+        tpl_mat = np.full((nb, Tpad), 4, np.int8)
+        for p, b in enumerate(bidx):
+            qs[p, :len(pair_reads[b])] = pair_reads[b]
+            tpl_mat[p, :len(pair_tpl[b])] = pair_tpl[b]
+        offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Wb)
+                         for ql, tl in zip(qlb, tlb)])
+        _lks, st, g = modtable_pileup_stats_pallas(
+            qs, tpl_mat, offs, qlb, tlb, params_f, Wb, Tpad,
+            pair_strand[bidx], params_r, seg_ids[bidx],
+            len(order), exp_mats)
+        stats = st if stats is None else stats + st
+        bucket_gathers.append((bidx, g))
+
+    def gather(cols):
+        raw = np.zeros((Bp, len(cols)), np.float32)
+        comp = np.zeros((Bp, len(cols)), np.float32)
+        for bidx, g in bucket_gathers:
+            r, c = g(cols)
+            raw[bidx], comp[bidx] = r, c
+        return raw, comp
+
     _t1 = time.time()
     cands = {}
     for pos_c, cid in enumerate(order):
@@ -711,29 +734,31 @@ def _batched_refresh_cigars(per_chunk, band, max_batch=512):
             pair_tpl.append(template)
     if not pair_reads:
         return {}
+    from ..ops.polish import band_buckets
     q_lens = np.array([len(r) for r in pair_reads], np.int32)
     t_lens = np.array([len(t) for t in pair_tpl], np.int32)
-    Weff = max(band, ((band // 2 + int(np.max(t_lens - q_lens, initial=0))
-                       + 127) // 128) * 128)
-    Qpad = ((int(q_lens.max()) + 255) // 256) * 256
-    Tmax = ((int(t_lens.max()) + 63) // 64) * 64
+    buckets, dropped = band_buckets(q_lens, t_lens, band)
+    cigars = [None] * len(pair_reads)  # dropped pairs keep their old cigar
     dispatched = []
-    for s in range(0, len(pair_reads), max_batch):
-        e = min(len(pair_reads), s + max_batch)
-        B = e - s
-        qs = np.full((B, Qpad), 4, np.int8)
-        rs = np.full((B, Tmax), 4, np.int8)
-        offs = np.zeros((B, Qpad + 1), np.int32)
-        for b in range(B):
-            qs[b, :q_lens[s + b]] = pair_reads[s + b]
-            rs[b, :t_lens[s + b]] = pair_tpl[s + b]
-            offs[b] = linear_offsets(int(q_lens[s + b]), int(t_lens[s + b]),
-                                     Qpad, Weff)
-        dispatched.append(dispatch_align_cigar(
-            qs, rs, offs, q_lens[s:e], t_lens[s:e], Weff, "global"))
-    cigars = []
-    for d in dispatched:
-        cigars.extend(collect_align_cigar(d)["cigar"])
+    for Wb, bidx in buckets:
+        Qpad = ((int(q_lens[bidx].max()) + 255) // 256) * 256
+        Tmax = ((int(t_lens[bidx].max()) + 63) // 64) * 64
+        for s in range(0, len(bidx), max_batch):
+            grp = bidx[s:s + max_batch]
+            B = len(grp)
+            qs = np.full((B, Qpad), 4, np.int8)
+            rs = np.full((B, Tmax), 4, np.int8)
+            offs = np.zeros((B, Qpad + 1), np.int32)
+            for b, gi in enumerate(grp):
+                qs[b, :q_lens[gi]] = pair_reads[gi]
+                rs[b, :t_lens[gi]] = pair_tpl[gi]
+                offs[b] = linear_offsets(int(q_lens[gi]), int(t_lens[gi]),
+                                         Qpad, Wb)
+            dispatched.append((grp, dispatch_align_cigar(
+                qs, rs, offs, q_lens[grp], t_lens[grp], Wb, "global")))
+    for grp, d in dispatched:
+        for gi, cg in zip(grp, collect_align_cigar(d)["cigar"]):
+            cigars[gi] = cg
     out = {}
     pair_cid = np.asarray(pair_cid)
     pos = 0
@@ -810,7 +835,8 @@ def local_clustering(ds: DataSet, seed: int = 42, W: int | None = None,
     logger.info("local_clustering: cigar refresh %.1fs", time.time() - t0b)
     for cid in order:
         for (ri, ni), cg in zip(work[cid][0], refreshed[cid]):
-            ds.encoded_reads[ri].nodes[ni].cigar = cg
+            if cg is not None:
+                ds.encoded_reads[ri].nodes[ni].cigar = cg
     # high-copy repeats take the recursive path (rare; per-chunk calls)
     recursive_cids = [cid for cid in order
                       if chunks[cid].copy_num >= UPPER_COPY_NUM
