@@ -68,16 +68,68 @@ def count_kmers(ds: DataSet, k: int = DEFAULT_K):
     return uniq, counts
 
 
+def _device_kmer_mask(vals: np.ndarray, k: int, freq: float,
+                      min_count: int, mesh):
+    """Sharded-device canonical k-mer counting: per-shard bincount into
+    4^k exact bins merged by psum over the mesh (SURVEY §5.8a — the
+    distributed counterpart of repeat_masking.rs:162-194's rayon
+    fold/reduce).  Only the tiny count-of-counts histogram and the masked
+    k-mer ids cross back to the host.  Returns (thr, masked_kmer_ids)."""
+    import jax.numpy as jnp
+
+    from ..parallel import make_sharded_kmer_hist
+    n_bins = 4 ** k
+    fn = make_sharded_kmer_hist(mesh, n_bins)
+    pad = (-len(vals)) % mesh.size
+    vp = np.concatenate([vals.astype(np.int64),
+                         np.zeros(pad, np.int64)])
+    hist = fn(vp)
+    if pad:
+        hist = hist.at[0].add(-pad)
+    cap = 1 << 20
+    cc = np.array(jnp.bincount(jnp.minimum(hist, cap), length=cap + 1))
+    cc[0] = 0  # absent k-mers are not part of the count multiset
+    n = int(cc.sum())
+    if n == 0:
+        return 0, np.zeros(0, np.int64)
+    # exact np.quantile(counts, 1-freq) ('linear') from the grouped multiset
+    pos = (n - 1) * (1.0 - freq)
+    cum = np.cumsum(cc)
+    lo_v = int(np.searchsorted(cum, int(np.floor(pos)) + 1))
+    hi_v = int(np.searchsorted(cum, int(np.ceil(pos)) + 1))
+    q = lo_v + (pos - np.floor(pos)) * (hi_v - lo_v)
+    thr = max(int(q), min_count)
+    masked = np.asarray(jnp.nonzero(hist > thr)[0], np.int64)
+    return thr, masked
+
+
 def mask_repeats(ds: DataSet, k: int = DEFAULT_K, freq: float = DEFAULT_FREQ,
                  min_count: int = DEFAULT_MIN_COUNT) -> RepeatAnnot:
     """Lowercase-mask ranges covered by over-represented k-mers."""
-    uniq, counts = count_kmers(ds, k)
-    if len(uniq) == 0:
-        ds.masked_kmers.k = k
-        ds.masked_kmers.thr = 0
-        return RepeatAnnot(set(), k)
-    thr = max(int(np.quantile(counts, 1.0 - freq)), min_count)
-    masked = set(uniq[counts > thr].tolist())
+    from ..parallel import get_mesh
+    mesh = get_mesh()
+    thr = None
+    if mesh is not None and k <= 13:
+        all_vals = []
+        for r in ds.raw_reads:
+            canon, ok = canonical_kmers(seqmod.encode(r.seq), k)
+            all_vals.append(canon[ok])
+        vals = np.concatenate(all_vals) if all_vals \
+            else np.zeros(0, np.uint64)
+        if len(vals) == 0:
+            ds.masked_kmers.k = k
+            ds.masked_kmers.thr = 0
+            return RepeatAnnot(set(), k)
+        thr, masked_arr = _device_kmer_mask(vals, k, freq, min_count, mesh)
+        masked = set(masked_arr.tolist())
+    else:
+        uniq, counts = count_kmers(ds, k)
+        if len(uniq) == 0:
+            ds.masked_kmers.k = k
+            ds.masked_kmers.thr = 0
+            return RepeatAnnot(set(), k)
+        thr = max(int(np.quantile(counts, 1.0 - freq)), min_count)
+        masked = set(uniq[counts > thr].tolist())
     ds.masked_kmers.k = k
     ds.masked_kmers.thr = thr
     if masked:

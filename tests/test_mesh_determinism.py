@@ -48,11 +48,8 @@ sys.stdout.write(gfa)
 def test_gfa_identical_at_1_and_8_devices(tmp_path):
     outs = {}
     for ndev in (1, 8):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
-            f" --xla_force_host_platform_device_count={ndev}"
-        env.pop("JTK_TPU_DISABLE_MESH", None)
+        from envutil import cpu_subprocess_env
+        env = cpu_subprocess_env(ndev)
         res = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
                              cwd=os.path.dirname(os.path.dirname(__file__)),
                              capture_output=True, text=True, timeout=3000)

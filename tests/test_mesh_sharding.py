@@ -80,16 +80,63 @@ print("sharding ok")
 
 
 def test_pileup_engines_partition_over_mesh():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
-        " --xla_force_host_platform_device_count=8"
-    env.pop("JTK_TPU_DISABLE_MESH", None)
-    # the axon sitecustomize registers the tunneled TPU whenever this is
-    # set, overriding JAX_PLATFORMS=cpu
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    from envutil import cpu_subprocess_env
+    env = cpu_subprocess_env(8)
     res = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
                          cwd=os.path.dirname(os.path.dirname(__file__)),
                          capture_output=True, text=True, timeout=2400)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "sharding ok" in res.stdout
+
+
+_MASK_SCRIPT = r"""
+import numpy as np
+import jax
+assert len(jax.devices()) == 8
+from jtk_tpu import seq as seqmod
+from jtk_tpu.datamodel import DataSet, RawRead
+from jtk_tpu.parallel import get_mesh
+from jtk_tpu.stages.repeat_masking import mask_repeats
+assert get_mesh() is not None
+
+rng = np.random.default_rng(11)
+rep = rng.integers(0, 4, 30).astype(np.int8)
+reads = []
+for i in range(6):
+    parts = [rng.integers(0, 4, 200).astype(np.int8)]
+    for _ in range(rng.integers(2, 5)):
+        parts += [rep, rng.integers(0, 4, 100).astype(np.int8)]
+    reads.append(seqmod.decode(np.concatenate(parts)).decode())
+
+def build():
+    return DataSet(read_type="ONT", raw_reads=[
+        RawRead(name=f"r{i}", desc="", id=i, seq=s)
+        for i, s in enumerate(reads)])
+
+import os
+ds_dev = build()
+mask_repeats(ds_dev, k=8, freq=0.05, min_count=3)
+os.environ["JTK_TPU_DISABLE_MESH"] = "1"
+import jtk_tpu.parallel as par
+par._MESH_CACHE.clear()
+ds_host = build()
+mask_repeats(ds_host, k=8, freq=0.05, min_count=3)
+assert ds_dev.masked_kmers.thr == ds_host.masked_kmers.thr, (
+    ds_dev.masked_kmers.thr, ds_host.masked_kmers.thr)
+for a, b in zip(ds_dev.raw_reads, ds_host.raw_reads):
+    assert a.seq == b.seq
+assert any(c.islower() for r in ds_dev.raw_reads for c in r.seq)
+print("mask ok")
+"""
+
+
+def test_sharded_repeat_masking_matches_host():
+    """The psum-histogram repeat masking (SURVEY §5.8a) must reproduce the
+    host np.unique path exactly: same threshold, same masked ranges."""
+    from envutil import cpu_subprocess_env
+    env = cpu_subprocess_env(8)
+    res = subprocess.run([sys.executable, "-c", _MASK_SCRIPT], env=env,
+                         cwd=os.path.dirname(os.path.dirname(__file__)),
+                         capture_output=True, text=True, timeout=2400)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "mask ok" in res.stdout

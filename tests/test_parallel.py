@@ -8,12 +8,17 @@ import os
 import subprocess
 import sys
 
+import pytest
 
+from envutil import cpu_subprocess_env
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_8dev():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
-        " --xla_force_host_platform_device_count=8"
+    """The full production dryrun (what the driver runs) — slow on 8 virtual
+    CPU devices (first lowering is ~6x slower per device), so marked slow;
+    the fast suite covers the entry compile + the sharded-engine tests."""
+    env = cpu_subprocess_env(8)
     code = (
         "import __graft_entry__ as g; g.dryrun_multichip(8)"
     )
@@ -25,8 +30,7 @@ def test_dryrun_multichip_8dev():
 
 
 def test_entry_compiles():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = cpu_subprocess_env()
     code = (
         "import jax, __graft_entry__ as g\n"
         "fn, args = g.entry()\n"
