@@ -97,10 +97,61 @@ def measure_cpu_baseline(ds, chunk_fastas) -> float:
         return FALLBACK_CPU_RATE
 
 
+def measure_cpu_phasing_baseline(ds, subset, restarts: int, flips: int,
+                                 n_chunks: int = 4) -> float | None:
+    """Single-thread chunks-phased/s from native/cluster_bench.cc on the
+    first ``n_chunks`` of the bench subset (the full 16 would add ~5 min of
+    single-thread DP to every bench run; the per-chunk rate is what
+    matters).  Returns None when the harness is unavailable."""
+    binary = os.path.join(REPO, "native", "cluster_bench")
+    src = os.path.join(REPO, "native", "cluster_bench.cc")
+    if not os.path.exists(binary) and os.path.exists(src):
+        try:
+            subprocess.run(["g++", "-O3", "-march=native", "-o", binary, src],
+                           check=True, capture_output=True, timeout=300)
+        except Exception as e:  # noqa: BLE001
+            print(f"cluster_bench build failed: {e}", file=sys.stderr)
+    if not os.path.exists(binary):
+        return None
+    from jtk_tpu import seq as seqmod
+    from jtk_tpu.stages.local_clustering import gather_pileups
+    import struct
+    pileups = gather_pileups(ds)
+    chunks = {c.id: c for c in ds.selected_chunks}
+    ids = sorted(subset)[:n_chunks]
+    d = tempfile.mkdtemp()
+    path = f"{d}/pileups.bin"
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", len(ids)))
+        for cid in ids:
+            tpl = chunks[cid].codes().astype(np.uint8)
+            f.write(struct.pack("<I", len(tpl)))
+            f.write(tpl.tobytes())
+            members = pileups.get(cid, [])
+            f.write(struct.pack("<I", len(members)))
+            for ri, ni in members:
+                q = seqmod.encode(
+                    ds.encoded_reads[ri].nodes[ni].seq).astype(np.uint8)
+                f.write(struct.pack("<I", len(q)))
+                f.write(q.tobytes())
+    try:
+        out = subprocess.run([binary, path, str(restarts), str(flips)],
+                             capture_output=True, text=True, timeout=3000)
+        rec = json.loads(out.stdout.strip())
+        print(f"cpu phasing baseline: {rec}", file=sys.stderr)
+        return float(rec["chunks_per_s"])
+    except Exception as e:  # noqa: BLE001
+        print(f"cluster_bench failed: {e}", file=sys.stderr)
+        return None
+
+
 def emit(result: dict):
     """The one parsed line (stdout) + the extras file."""
     extra = {
         "cpu_baseline_reads_per_s": result.get("cpu_baseline_reads_per_s"),
+        "cpu_baseline_chunks_phased_per_s":
+            result.get("cpu_baseline_chunks_phased_per_s"),
+        "phasing_vs_cpu": result.get("phasing_vs_cpu"),
         "chunks_phased_per_s": result.get("chunks_phased_per_s"),
         "nodes": result.get("nodes"),
         "warmup_encode_s": result.get("warmup_encode_s"),
@@ -194,7 +245,9 @@ def run_bench(result: dict, backend: str):
     result["vs_baseline"] = round(reads_per_s / cpu_rate, 2)
     result["nodes"] = n_nodes
 
-    # chunks-phased/s: local clustering over the encoded pileups
+    # chunks-phased/s AT PRODUCTION EFFORT (2000*n flips, 20 restarts —
+    # what the pipeline and the reference actually run,
+    # pseudo_mcmc.rs:728 / misc.rs:231-341)
     for c in ds.selected_chunks:
         c.copy_num = 2
         c.cluster_num = 2
@@ -202,20 +255,29 @@ def run_bench(result: dict, backend: str):
     # warm with the IDENTICAL subset (on a copy) so every production shape
     # — slice buckets AND scan lengths — is compiled before the timed pass
     n_sub = int(os.environ.get("JTK_BENCH_CHUNKS", 16))
+    flips = int(os.environ.get("JTK_BENCH_FLIPS", 2000))
+    restarts = int(os.environ.get("JTK_BENCH_RESTARTS", 20))
     subset = {c.id for c in ds.selected_chunks[:n_sub]}
+    # measured single-thread CPU denominator on the SAME pileups
+    cpu_phase = measure_cpu_phasing_baseline(ds, subset, restarts, flips)
+    if cpu_phase:
+        result["cpu_baseline_chunks_phased_per_s"] = round(cpu_phase, 4)
     warm2 = copy.deepcopy(ds)
     t0 = time.time()
-    local_clustering(warm2, flips_per_read=600, restarts=8,
+    local_clustering(warm2, flips_per_read=flips, restarts=restarts,
                      selection=subset)
     result["warmup_cluster_s"] = round(time.time() - t0, 1)
     print(f"cluster warmup: {result['warmup_cluster_s']}s", file=sys.stderr)
     t0 = time.time()
-    local_clustering(ds, flips_per_read=600, restarts=8,
+    local_clustering(ds, flips_per_read=flips, restarts=restarts,
                      selection=subset)
     dt_c = time.time() - t0
     chunks_per_s = len(subset) / dt_c
-    print(f"phased {len(subset)} chunks in {dt_c:.1f}s", file=sys.stderr)
+    print(f"phased {len(subset)} chunks in {dt_c:.1f}s "
+          f"(flips={flips}, restarts={restarts})", file=sys.stderr)
     result["chunks_phased_per_s"] = round(chunks_per_s, 3)
+    if cpu_phase:
+        result["phasing_vs_cpu"] = round(chunks_per_s / cpu_phase, 2)
 
 
 if __name__ == "__main__":

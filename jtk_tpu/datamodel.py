@@ -18,6 +18,7 @@ The per-platform presets mirror ``definitions/src/lib.rs:156-243``.
 from __future__ import annotations
 
 import json
+import os
 import math
 from dataclasses import dataclass, field
 
@@ -622,10 +623,143 @@ class DataSet:
         return cls.from_json(json.loads(s))
 
     def dump(self, path: str):
+        if path.endswith(".npz"):
+            self.dump_npz(path)
+            return
         with open(path, "w") as f:
             json.dump(self.to_json(), f)
 
     @classmethod
     def load(cls, path: str) -> "DataSet":
+        if path.endswith(".npz"):
+            return cls.load_npz(path)
         with open(path) as f:
             return cls.from_json(json.load(f))
+
+    # -- columnar npz snapshot (SURVEY §2.1 TPU note: the DataSet as a
+    # columnar store).  JSON stays the CLI/stage ABI; npz is the fast
+    # checkpoint format: at 1 Mb x 60x the per-phase JSON is ~260 MB and
+    # takes minutes to (de)serialize, the columnar snapshot is seconds. --
+    def dump_npz(self, path: str):
+        def blob(strs):
+            enc = [s.encode() for s in strs]
+            lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+            offs = np.zeros(len(enc) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            data = np.frombuffer(b"".join(enc), np.uint8) if enc else \
+                np.zeros(0, np.uint8)
+            return data, offs
+
+        a = {}
+        a["rr_seq"], a["rr_seq_o"] = blob([r.seq for r in self.raw_reads])
+        a["rr_name"], a["rr_name_o"] = blob([r.name for r in self.raw_reads])
+        a["rr_desc"], a["rr_desc_o"] = blob([r.desc for r in self.raw_reads])
+        a["rr_id"] = np.array([r.id for r in self.raw_reads], np.int64)
+        a["ch_seq"], a["ch_seq_o"] = blob([c.seq
+                                           for c in self.selected_chunks])
+        a["ch_meta"] = np.array(
+            [[c.id, c.cluster_num, c.copy_num] for c in self.selected_chunks],
+            np.int64).reshape(-1, 3)
+        a["ch_score"] = np.array([c.score for c in self.selected_chunks],
+                                 np.float64)
+        ers = self.encoded_reads
+        a["er_meta"] = np.array(
+            [[er.id, er.original_length, len(er.nodes), len(er.edges)]
+             for er in ers], np.int64).reshape(-1, 4)
+        a["er_lead"], a["er_lead_o"] = blob([er.leading_gap for er in ers])
+        a["er_trail"], a["er_trail_o"] = blob([er.trailing_gap for er in ers])
+        nodes = [n for er in ers for n in er.nodes]
+        edges = [e for er in ers for e in er.edges]
+        a["n_meta"] = np.array(
+            [[n.position_from_start, n.chunk, n.cluster, int(n.is_forward)]
+             for n in nodes], np.int64).reshape(-1, 4)
+        a["n_seq"], a["n_seq_o"] = blob([n.seq for n in nodes])
+        a["n_cigar"], a["n_cigar_o"] = blob([ops_to_str(n.cigar)
+                                             for n in nodes])
+        post_lens = np.array([len(n.posterior) for n in nodes], np.int64)
+        a["n_post_o"] = np.concatenate([[0], np.cumsum(post_lens)])
+        a["n_post"] = np.array([x for n in nodes for x in n.posterior],
+                               np.float64)
+        a["e_meta"] = np.array([[e.from_, e.to, e.offset] for e in edges],
+                               np.int64).reshape(-1, 3)
+        a["e_label"], a["e_label_o"] = blob([e.label for e in edges])
+        header = {
+            "input_file": self.input_file,
+            "masked_kmers": self.masked_kmers.to_json(),
+            "coverage": self.coverage.to_json(),
+            "hic_pairs": list(self.hic_pairs),
+            "hic_edges": list(self.hic_edges),
+            "read_type": self.read_type,
+            "model_param": self.model_param.to_json(),
+            "error_rate": self.error_rate.to_json(),
+            "processed_stages": list(self.processed_stages),
+        }
+        a["header"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+        tmp = path + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez(f, **a)  # uncompressed: zlib costs more than the bytes
+        os.replace(tmp, path)
+
+    @classmethod
+    def load_npz(cls, path: str) -> "DataSet":
+        with np.load(path) as zf:
+            # materialize ONCE — NpzFile re-reads the zip member on every
+            # __getitem__, which turned the node loop quadratic
+            z = {k: zf[k] for k in zf.files}
+
+        def cuts(blob, offs):
+            b = blob.tobytes()
+            return [b[offs[i]:offs[i + 1]].decode()
+                    for i in range(len(offs) - 1)]
+
+        header = json.loads(bytes(z["header"]).decode())
+        names = cuts(z["rr_name"], z["rr_name_o"])
+        descs = cuts(z["rr_desc"], z["rr_desc_o"])
+        seqs = cuts(z["rr_seq"], z["rr_seq_o"])
+        rr = [RawRead(names[i], descs[i], int(z["rr_id"][i]), seqs[i])
+              for i in range(len(z["rr_id"]))]
+        cm = z["ch_meta"]
+        ch_seqs = cuts(z["ch_seq"], z["ch_seq_o"])
+        chunks = [Chunk(int(cm[i, 0]), ch_seqs[i], int(cm[i, 1]),
+                        int(cm[i, 2]), float(z["ch_score"][i]))
+                  for i in range(cm.shape[0])]
+        nm = z["n_meta"]
+        n_post, n_post_o = z["n_post"], z["n_post_o"]
+        n_seqs = cuts(z["n_seq"], z["n_seq_o"])
+        n_cigars = cuts(z["n_cigar"], z["n_cigar_o"])
+        all_nodes = [Node(int(nm[i, 0]), int(nm[i, 1]), int(nm[i, 2]),
+                          n_seqs[i], bool(nm[i, 3]),
+                          ops_from_str(n_cigars[i]),
+                          n_post[n_post_o[i]:n_post_o[i + 1]].tolist())
+                     for i in range(nm.shape[0])]
+        em = z["e_meta"]
+        e_labels = cuts(z["e_label"], z["e_label_o"])
+        all_edges = [Edge(int(em[i, 0]), int(em[i, 1]), int(em[i, 2]),
+                          e_labels[i])
+                     for i in range(em.shape[0])]
+        ers = []
+        npos = epos = 0
+        erm = z["er_meta"]
+        leads = cuts(z["er_lead"], z["er_lead_o"])
+        trails = cuts(z["er_trail"], z["er_trail_o"])
+        for i in range(erm.shape[0]):
+            nn, ne = int(erm[i, 2]), int(erm[i, 3])
+            ers.append(EncodedRead(
+                int(erm[i, 0]), int(erm[i, 1]), leads[i], trails[i],
+                all_edges[epos:epos + ne], all_nodes[npos:npos + nn]))
+            npos += nn
+            epos += ne
+        return cls(
+            input_file=header["input_file"],
+            masked_kmers=MaskInfo.from_json(header["masked_kmers"]),
+            coverage=Coverage.from_json(header["coverage"]),
+            raw_reads=rr,
+            hic_pairs=list(header.get("hic_pairs", [])),
+            selected_chunks=chunks,
+            encoded_reads=ers,
+            hic_edges=list(header.get("hic_edges", [])),
+            read_type=header["read_type"],
+            model_param=HMMParamOnStrands.from_json(header["model_param"]),
+            error_rate=ErrorRate.from_json(header["error_rate"]),
+            processed_stages=list(header.get("processed_stages", [])),
+        )

@@ -347,9 +347,14 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     """
     if not cands:
         return []
+    import logging
+    import time as _time
+
     import jax
 
     from ..ops.banded_align import _extend_hostwin, decode_indexed
+    _logger = logging.getLogger(__name__)
+    _t0 = _time.time()
     cid_list = sorted(chunk_seqs)
     cidx_of = {cid: i for i, cid in enumerate(cid_list)}
     Qpad = ((max(len(chunk_seqs[c]) for c in cid_list) + 127) // 128) * 128
@@ -456,8 +461,10 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
             handle = _extend_hostwin(dev_blob, dev_lens, cc_d, rsp_d, ws_d,
                                      as_d, tl_d, W, Qpad, Tpad, margin)
         dispatched.append((grp, B, handle))
+    _t_dispatch = _time.time() - _t0
     results = []
     overflow = []
+    _t1 = _time.time()
     for grp, B, handle in dispatched:
         q_lens = [len(chunk_seqs[c.chunk_id]) for c in grp]
         q_lens += [1] * (B - len(grp))
@@ -482,6 +489,9 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
                 if bnd - a >= len(chunk_seqs[c.chunk_id]) // 2:
                     overflow.append(rec)
             results.append(rec)
+    _logger.info("extend: %d cands, %d batches; prep+dispatch %.2fs, "
+                 "collect+decode %.2fs", len(cands), len(dispatched),
+                 _t_dispatch, _time.time() - _t1)
     if pre_redo:
         redo_set = {id(c) for c in pre_redo}
         seen = {id(rec) for rec in overflow}

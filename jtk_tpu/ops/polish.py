@@ -69,7 +69,22 @@ def band_buckets(q_lens, t_lens, W: int):
             out.append((int(wb), np.nonzero(sel)[0]))
             assigned |= sel
     dropped = np.nonzero(~assigned)[0]
-    return out, dropped
+    # a wider band is a superset of a narrower one, so small tail buckets
+    # merge UPWARD into the widest: a 1-pair W=512 bucket costs a whole
+    # dispatch (the RPC floor dwarfs its compute)
+    merged = []
+    carry = None  # (W, idx) pending upward merge
+    for wb, idx in out:
+        if carry is not None:
+            idx = np.concatenate([carry[1], idx])
+            carry = None
+        if len(idx) < 16 and wb != out[-1][0]:
+            carry = (wb, idx)
+        else:
+            merged.append((wb, idx))
+    if carry is not None:  # unreachable (the last bucket never carries)
+        merged.append(carry)
+    return merged, dropped
 
 
 def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],

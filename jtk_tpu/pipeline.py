@@ -46,6 +46,9 @@ class PipelineConfig:
     min_llr: float = 1.0
     resume: bool = False
     gfa2: bool = False
+    # "json" (reference-ABI, diffable) or "npz" (columnar snapshot —
+    # seconds instead of minutes per phase at Mb scale, SURVEY §2.1)
+    checkpoint_format: str = "json"
     supress_ari: float = 0.4
     match_ari: float = 4.0
     mismatch_ari: float = -1.0
@@ -89,13 +92,23 @@ def run_pipeline(config: PipelineConfig) -> str:
 
     os.makedirs(config.out_dir, exist_ok=True)
     stem = os.path.join(config.out_dir, config.prefix)
+    ext = "npz" if config.checkpoint_format == "npz" else "json"
     paths = {
-        "entry": f"{stem}.entry.json",
-        "encoded": f"{stem}.encoded.json",
-        "clustered": f"{stem}.clustered.json",
-        "de": f"{stem}.de.json",
-        "corrected": f"{stem}.json",
+        "entry": f"{stem}.entry.{ext}",
+        "encoded": f"{stem}.encoded.{ext}",
+        "clustered": f"{stem}.clustered.{ext}",
+        "de": f"{stem}.de.{ext}",
+        "corrected": f"{stem}.{ext}",
     }
+
+    def existing_checkpoint(name):
+        """The configured-format path if present, else the other format
+        (a run may be resumed with a different checkpoint_format)."""
+        if os.path.exists(paths[name]):
+            return paths[name]
+        other = paths[name].rsplit(".", 1)[0] + \
+            (".json" if ext == "npz" else ".npz")
+        return other if os.path.exists(other) else None
     region = parse_si(config.region_size)
     take_num = 3 * region // config.chunk_len // 2
 
@@ -108,7 +121,7 @@ def run_pipeline(config: PipelineConfig) -> str:
     resume_to = None
     if config.resume:
         for _name in reversed(_order):
-            if os.path.exists(paths[_name]):
+            if existing_checkpoint(_name):
                 resume_to = _name
                 break
 
@@ -121,6 +134,7 @@ def run_pipeline(config: PipelineConfig) -> str:
                             name, resume_to)
                 return None
             if i == j:
+                path = existing_checkpoint(name)
                 logger.info("phase %s: resume from %s", name, path)
                 return DataSet.load(path)
         t0 = time.time()

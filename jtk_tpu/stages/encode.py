@@ -12,9 +12,13 @@ dropped by the identity filter alone.
 
 from __future__ import annotations
 
+import logging
+
 from .. import seq as seqmod
 from ..datamodel import DataSet, Edge, EncodedRead, Node, ReadType
 from ..mapper import ChunkIndex, extend_candidates, flip_cigar
+
+logger = logging.getLogger(__name__)
 
 
 def _node_from_result(res, read_codes, read_ascii):
@@ -98,15 +102,22 @@ def encode(ds: DataSet, sim_thr: float | None = None, margin: int = 200,
     k_rt, hpc = ReadType.mapper_params(ds.read_type)
     if k is None:
         k = k_rt
+    import time as _time
     chunk_seqs = {c.id: c.codes() for c in ds.selected_chunks}
     cluster_num = {c.id: c.cluster_num for c in ds.selected_chunks}
+    _t0 = _time.time()
     index = ChunkIndex(chunk_seqs, k=k, hpc=hpc)
     read_ascii = [r.seq for r in ds.raw_reads]
     read_codes = [seqmod.encode(s) for s in read_ascii]
+    _t1 = _time.time()
     cands = index.candidates_batch(read_codes, min_hits=min_hits,
                                    margin=margin, stride=stride)
+    _t2 = _time.time()
     results = extend_candidates(cands, read_codes, chunk_seqs, W=W,
                                 margin=margin)
+    _t3 = _time.time()
+    logger.info("encode: index+pack %.2fs, candidates %.2fs (%d), "
+                "extend %.2fs", _t1 - _t0, _t2 - _t1, len(cands), _t3 - _t2)
     per_read: dict[int, list] = {}
     for res in results:
         c = res["cand"]

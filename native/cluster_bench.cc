@@ -708,7 +708,11 @@ void phase_chunk(std::vector<uint8_t> tpl,
   for (int r0 = 0; r0 < R; ++r0)
     for (int v = 0; v < V; ++v) X[(size_t)r0 * V + v] = profs[r0][cols[v]];
   auto res = cluster_mcmc(X, R, V, 2, restarts, flips, rng);
-  *out_k = res.score > 0 ? 2 : 1;
+  // accept k=2 when the best 2-cluster score beats all-in-one
+  std::vector<int> one(R, 0);
+  Aggr a1;
+  a1.init(X, one, R, 2, V);
+  *out_k = res.score > a1.objective() ? 2 : 1;
 }
 
 // -------- selftest --------

@@ -43,9 +43,11 @@ def main():
     with open(fa, "w") as f:
         for i, r in enumerate(reads):
             f.write(f">sim_{i}\n{seqmod.decode(r['codes']).decode()}\n")
+    ckpt = os.environ.get("VALIDATE_CKPT", "json")
     cfg = PipelineConfig(input_file=fa, read_type="ONT", out_dir=out,
                          prefix="v", region_size=str(L), seed=13,
-                         to_polish=True, resume=True)
+                         to_polish=True, resume=True,
+                         checkpoint_format=ckpt)
     t0 = time.time()
     gfa_path = run_pipeline(cfg)
     wall = time.time() - t0
@@ -62,7 +64,10 @@ def main():
     m = assembly_metrics(open(gfa_path).read(), [hap1, hap2])
     # phasing ARI per chunk
     from jtk_tpu.datamodel import DataSet
-    ds = DataSet.load(f"{out}/v.clustered.json")
+    cl = f"{out}/v.clustered.{'npz' if ckpt == 'npz' else 'json'}"
+    if not os.path.exists(cl):
+        cl = f"{out}/v.clustered.json"
+    ds = DataSet.load(cl)
     aris = []
     for c in ds.selected_chunks:
         if c.cluster_num < 2:

@@ -122,3 +122,29 @@ def test_readtype_presets():
     assert ReadType.band_width("ONT", 2000) == 60
     assert ReadType.sim_thr("ONT") == 0.15
     assert ReadType.min_span_reads("ONT") == 2
+
+
+def test_npz_snapshot_roundtrip(tmp_path):
+    """Columnar npz snapshot (SURVEY §2.1) must round-trip exactly."""
+    from jtk_tpu.datamodel import (Chunk, DataSet, Edge, EncodedRead, Node,
+                                   RawRead)
+    ds = DataSet(read_type="ONT", input_file="x.fa")
+    ds.raw_reads = [RawRead("r0", "d", 0, "ACGTACGTAA"),
+                    RawRead("r1", "", 1, "GGGTTTAAAC")]
+    ds.selected_chunks = [Chunk(0, "ACGT", 2, 3, 1.5)]
+    n = Node(2, 0, 1, "ACGT", False, [("M", 3), ("I", 1)], [-0.1, -2.3])
+    ds.encoded_reads = [EncodedRead(0, 10, "AC", "AA",
+                                    [], [n]),
+                        EncodedRead(1, 10, "GGGTTTAAAC", "", [], [])]
+    ds.push_stage("Entry", ["x"])
+    p = str(tmp_path / "ds.npz")
+    ds.dump(p)
+    ds2 = DataSet.load(p)
+    assert ds2.dumps() == ds.dumps()
+
+    # two-node read with an edge
+    n2 = Node(7, 0, 0, "GTAC", True, [("M", 4)], [0.0])
+    ds.encoded_reads[0].nodes.append(n2)
+    ds.encoded_reads[0].edges.append(Edge(0, 0, 1, "G"))
+    ds.dump(p)
+    assert DataSet.load(p).dumps() == ds.dumps()

@@ -59,3 +59,30 @@ def test_polish_many_matches_single():
         single, _ = polish_until_converge(t, p, params, W=64, max_rounds=8)
         assert np.array_equal(np.asarray(m), np.asarray(single)), \
             (len(m), len(single))
+
+
+def test_band_buckets_merge_and_drop():
+    """Per-pair band bucketing: one short pair must not inflate the batch
+    band; tiny tail buckets merge upward into one dispatch; pathological
+    deficits (beyond 8W) are dropped."""
+    import numpy as np
+
+    from jtk_tpu.ops.polish import band_buckets
+
+    q = np.concatenate([np.full(606, 2000), np.full(4, 1900), [1700]])
+    t = np.full(611, 2000)
+    buckets, dropped = band_buckets(q, t, 128)
+    assert [(w, len(i)) for w, i in buckets] == [(128, 606), (512, 5)]
+    assert len(dropped) == 0
+    # the main batch keeps its own band
+    assert set(buckets[0][1]) == set(range(606))
+
+    # all pairs needing a wider band get it
+    buckets, _ = band_buckets(np.full(40, 1850), np.full(40, 2000), 128)
+    assert buckets[0][0] == 256
+
+    # deficit beyond 8W is dropped, the rest unaffected
+    buckets, dropped = band_buckets(np.array([2000, 500]),
+                                    np.array([2000, 2000]), 128)
+    assert [(w, len(i)) for w, i in buckets] == [(128, 1)]
+    assert list(dropped) == [1]
