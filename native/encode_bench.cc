@@ -23,7 +23,7 @@
 
 namespace {
 
-constexpr int K = 15;
+constexpr int K = 17;  // reference minimap2 ONT seeding (-k17, encode/mod.rs:348)
 constexpr int STRIDE = 3;
 constexpr int MIN_HITS = 4;
 constexpr int MARGIN = 200;
@@ -67,7 +67,7 @@ std::vector<int8_t> revcomp(const std::vector<int8_t>& s) {
 }
 
 struct IndexEntry {
-  uint32_t kmer;
+  uint64_t kmer;
   int32_t chunk;
   int32_t pos;
 };
@@ -144,22 +144,24 @@ int banded_align(const std::vector<int8_t>& q, const int8_t* t, int t_len,
 
 int main(int argc, char** argv) {
   if (argc < 3) {
-    std::fprintf(stderr, "usage: %s reads.fa chunks.fa\n", argv[0]);
+    std::fprintf(stderr, "usage: %s reads.fa chunks.fa [dump.tsv]\n",
+                 argv[0]);
     return 1;
   }
   auto reads = read_fasta(argv[1]);
   auto chunks = read_fasta(argv[2]);
+  FILE* dump = argc > 3 ? std::fopen(argv[3], "w") : nullptr;
 
   // ---- index the chunk set ----
   std::vector<IndexEntry> index;
   for (size_t ci = 0; ci < chunks.size(); ++ci) {
     const auto& s = chunks[ci];
     if (s.size() < K) continue;
-    uint32_t val = 0;
+    uint64_t val = 0;
     int run = 0;
     for (size_t p = 0; p < s.size(); ++p) {
       if (s[p] > 3) { run = 0; val = 0; continue; }
-      val = ((val << 2) | uint32_t(s[p])) & ((1u << (2 * K)) - 1);
+      val = ((val << 2) | uint64_t(s[p])) & ((1ULL << (2 * K)) - 1);
       if (++run >= K)
         index.push_back({val, int32_t(ci), int32_t(p - K + 1)});
     }
@@ -172,7 +174,8 @@ int main(int argc, char** argv) {
   auto t0 = std::chrono::steady_clock::now();
   long n_nodes = 0;
   std::vector<uint8_t> ptrs;
-  for (const auto& read : reads) {
+  for (size_t read_i = 0; read_i < reads.size(); ++read_i) {
+    const auto& read = reads[read_i];
     for (int strand = 0; strand < 2; ++strand) {
       std::vector<int8_t> oriented =
           strand == 0 ? read : revcomp(read);
@@ -180,17 +183,17 @@ int main(int argc, char** argv) {
       std::unordered_map<int64_t, int> votes;
       std::unordered_map<int64_t, long> diag_sum;
       if (oriented.size() < K) continue;
-      uint32_t val = 0;
+      uint64_t val = 0;
       int run = 0;
       for (size_t p = 0; p < oriented.size(); ++p) {
         if (oriented[p] > 3) { run = 0; val = 0; continue; }
-        val = ((val << 2) | uint32_t(oriented[p])) & ((1u << (2 * K)) - 1);
+        val = ((val << 2) | uint64_t(oriented[p])) & ((1ULL << (2 * K)) - 1);
         if (++run < K) continue;
         size_t rp = p - K + 1;
         if (rp % STRIDE) continue;
         auto lo = std::lower_bound(
             index.begin(), index.end(), val,
-            [](const IndexEntry& e, uint32_t v) { return e.kmer < v; });
+            [](const IndexEntry& e, uint64_t v) { return e.kmer < v; });
         auto hi = lo;
         while (hi != index.end() && hi->kmer == val) ++hi;
         if (hi - lo == 0 || hi - lo > MAX_OCC) continue;
@@ -213,7 +216,12 @@ int main(int argc, char** argv) {
         if (b - a < long(cseq.size()) / 2) continue;
         int dist = banded_align(cseq, oriented.data() + a, int(b - a),
                                 int(dmed - a), &ptrs);
-        if (dist < SIM_THR * cseq.size()) ++n_nodes;
+        if (dist < SIM_THR * cseq.size()) {
+          ++n_nodes;
+          if (dump)
+            std::fprintf(dump, "%zu\t%d\t%d\t%ld\t%d\n", read_i,
+                         chunk_id, strand, dmed, dist);
+        }
       }
     }
   }
@@ -223,5 +231,6 @@ int main(int argc, char** argv) {
       "{\"reads\": %zu, \"nodes\": %ld, \"seconds\": %.3f, "
       "\"reads_per_s\": %.2f}\n",
       reads.size(), n_nodes, dt, reads.size() / dt);
+  if (dump) std::fclose(dump);
   return 0;
 }
