@@ -372,8 +372,8 @@ def _fill_once(ds, chunk_seqs, chunk_ascii, erm, failed, alive, read_ascii,
     _t1 = _time.time()
     per_read_aligned = defaultdict(list)
     if _align_pairs_native(skels, pairs, per_read_aligned):
-        logger.debug("deletion_fill: pair build %.1fs, native dp %.1fs",
-                     _t1 - _t0, _time.time() - _t1)
+        logger.info("deletion_fill: pair build %.1fs, native dp %.1fs",
+                    _t1 - _t0, _time.time() - _t1)
         return _apply_alignments(ds, chunk_seqs, chunk_ascii, erm, failed,
                                  alive, read_ascii, read_codes, margin, W,
                                  changed_chunks, pairs, per_read_aligned)
@@ -465,6 +465,8 @@ def _align_pairs_native(skels, pairs, per_read_aligned) -> bool:
 def _apply_alignments(ds, chunk_seqs, chunk_ascii, erm, failed, alive,
                       read_ascii, read_codes, margin, W, changed_chunks,
                       pairs, per_read_aligned) -> int:
+    import time as _time
+    _tv = _time.time()
     # votes -> candidates
     cands, meta = [], []
     for ri, aligned in per_read_aligned.items():
@@ -495,8 +497,10 @@ def _apply_alignments(ds, chunk_seqs, chunk_ascii, erm, failed, alive,
                 continue
             alive[ri] = False
         return 0
+    _te = _time.time()
     results = extend_candidates(cands, read_codes, chunk_seqs, W=W,
                                 margin=margin)
+    _tr = _time.time()
     got_insert = set()
     pending = defaultdict(list)
     for res, (ri, idx, key) in zip(results, meta):
@@ -534,6 +538,8 @@ def _apply_alignments(ds, chunk_seqs, chunk_ascii, erm, failed, alive,
             changed_chunks.update(d["chunk"] for d in new)
         else:
             alive[ri] = False
-    logger.info("deletion_fill: %d pairs, %d candidates, %d inserted",
-                len(pairs), len(cands), added)
+    logger.info("deletion_fill: %d pairs, %d candidates, %d inserted "
+                "(vote %.1fs, extend %.1fs, rebuild %.1fs)",
+                len(pairs), len(cands), added, _te - _tv, _tr - _te,
+                _time.time() - _tr)
     return added
