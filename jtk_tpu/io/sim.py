@@ -47,6 +47,54 @@ def noisy_read(rng: np.random.Generator, template: np.ndarray, error: float):
     return mutate(rng, template, sub=error / 3, ins=error / 3, dele=error / 3)
 
 
+def noisy_read_ont_profile(rng: np.random.Generator, template: np.ndarray,
+                           error: float):
+    """NanoSim-style ONT error model (the reference simulates its mock reads
+    with NanoSim, script/generate_mock_reads_from_mock_genome.sh):
+    deletion-heavy mix (~40% del / 20% ins / 40% sub of the total rate) with
+    homopolymer-run-amplified indels — runs of length L see their del rate
+    scaled by ~(1 + 0.6·(L-1)), the dominant ONT basecaller failure mode."""
+    t = np.asarray(template, np.int8)
+    n = len(t)
+    if n == 0:
+        return t.copy()
+    # homopolymer run length at each position (length of the run it sits in)
+    change = np.concatenate([[True], t[1:] != t[:-1]])
+    run_id = np.cumsum(change) - 1
+    run_len = np.bincount(run_id)
+    L = run_len[run_id].astype(np.float64)
+    hp_amp = 1.0 + 0.6 * (L - 1.0)
+    p_del = np.minimum(0.40 * error * hp_amp, 0.9)
+    p_sub = 0.40 * error
+    p_ins = 0.20 * error * (1.0 + 0.3 * (L - 1.0))
+    x = rng.random(n)
+    deleted = x < p_del
+    subbed = (~deleted) & (x < p_del + p_sub)
+    ins_after = rng.random(n) < p_ins
+    out = []
+    for i in range(n):
+        if not deleted[i]:
+            b = t[i]
+            if subbed[i]:
+                b = (b + 1 + rng.integers(0, 3)) % 4
+            out.append(b)
+        if ins_after[i]:
+            # half of insertions duplicate the current base (homopolymer
+            # lengthening), half are random
+            out.append(t[i] if rng.random() < 0.5 else rng.integers(0, 4))
+    return np.array(out, dtype=np.int8)
+
+
+def sample_read_length_ont(rng: np.random.Generator, mean_len: int,
+                           min_len: int = 500) -> int:
+    """ONT ultra-long length model: lognormal body + heavy tail (NanoSim's
+    empirical kernel-density lengths are right-skewed; a lognormal with
+    sigma 0.75 reproduces the shape adequately)."""
+    sigma = 0.75
+    mu = np.log(mean_len) - sigma * sigma / 2
+    return max(int(rng.lognormal(mu, sigma)), min_len)
+
+
 # ---------------------------------------------------------------------------
 # SV / repeat genome generators (reference dev-harness parity:
 # sandbox/src/bin/gen_sim_genome.rs, gen_sim_genome_segdup.rs)
@@ -149,7 +197,7 @@ def sv_diploid(rng: np.random.Generator, length: int = 1_000_000,
 
 def simulate_reads(rng: np.random.Generator, haplotypes, coverage: float,
                    mean_len: int, error: float, min_len: int = 500,
-                   clip_ends: bool = False):
+                   clip_ends: bool = False, profile: str | None = None):
     """Sample reads uniformly over the haplotypes; ~half reverse strand.
 
     ``clip_ends=True`` samples reads as if the region were EXTRACTED from a
@@ -167,7 +215,12 @@ def simulate_reads(rng: np.random.Generator, haplotypes, coverage: float,
     for _ in range(n_reads):
         h = int(rng.integers(0, len(haplotypes)))
         hap = haplotypes[h]
-        ln = int(np.clip(rng.normal(mean_len, mean_len / 4), min_len, len(hap)))
+        if profile == "ont":
+            ln = min(sample_read_length_ont(rng, mean_len, min_len),
+                     len(hap))
+        else:
+            ln = int(np.clip(rng.normal(mean_len, mean_len / 4), min_len,
+                             len(hap)))
         if clip_ends:
             start = int(rng.integers(-(ln - min_len),
                                      max(len(hap) - min_len, 1)))
@@ -179,7 +232,8 @@ def simulate_reads(rng: np.random.Generator, haplotypes, coverage: float,
         else:
             start = int(rng.integers(0, max(len(hap) - ln, 1)))
         frag = hap[start:start + ln]
-        codes = noisy_read(rng, frag, error)
+        codes = noisy_read_ont_profile(rng, frag, error) \
+            if profile == "ont" else noisy_read(rng, frag, error)
         fwd = bool(rng.random() < 0.5)
         if not fwd:
             codes = seqmod.revcomp(codes)

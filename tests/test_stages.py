@@ -231,3 +231,30 @@ def test_remove_erroneous_nodes_drops_weak_edge_node():
     bad = [er for er in ds.encoded_reads
            if any(n.chunk == 10 for n in er.nodes)]
     assert not bad
+
+
+def test_ont_profile_simulator():
+    """NanoSim-style ONT reads: deletion-heavy, homopolymer-amplified
+    indels, right-skewed lengths (reference mock reads come from NanoSim,
+    script/generate_mock_reads_from_mock_genome.sh)."""
+    import numpy as np
+
+    from jtk_tpu.io import sim
+
+    rng = np.random.default_rng(9)
+    # homopolymer-rich template: indel rate must exceed the flat model's
+    tpl = np.repeat(rng.integers(0, 4, 2000), rng.integers(1, 6, 2000))
+    tpl = tpl.astype(np.int8)[:8000]
+    r = sim.noisy_read_ont_profile(rng, tpl, 0.05)
+    # deletion-heavy: reads come out shorter on average
+    assert len(r) < len(tpl)
+    shrink = 1 - len(r) / len(tpl)
+    assert 0.005 < shrink < 0.1, shrink
+    lens = [sim.sample_read_length_ont(rng, 15000) for _ in range(2000)]
+    lens = np.array(lens)
+    assert abs(np.mean(lens) / 15000 - 1) < 0.15     # mean preserved
+    assert np.mean(lens > 30000) > 0.02              # heavy tail exists
+    assert np.median(lens) < np.mean(lens)           # right-skewed
+    reads = sim.simulate_reads(rng, [tpl], coverage=3, mean_len=4000,
+                               error=0.05, profile="ont")
+    assert len(reads) > 2 and all(len(x["codes"]) > 0 for x in reads)
