@@ -357,9 +357,24 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     _t0 = _time.time()
     cid_list = sorted(chunk_seqs)
     cidx_of = {cid: i for i, cid in enumerate(cid_list)}
-    Qpad = ((max(len(chunk_seqs[c]) for c in cid_list) + 127) // 128) * 128
-    Tpad = ((max(c.window_len for c in cands) + 127) // 128) * 128
-    n_chunk_rows = ((len(cid_list) + 63) // 64) * 64
+    # POWER-OF-TWO pads: these are jit input shapes, and the chunk set
+    # changes size throughout select_chunks/deletion_fill — per-size shapes
+    # meant a fresh Mosaic K3 compile (~minutes) for every chunk-count the
+    # pipeline passed through (the round-1 encode of a 1 Mb run spent
+    # 750 s of its 780 s in exactly these compiles)
+
+    def _p2(n, lo):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    Qpad = _p2(((max(len(chunk_seqs[c]) for c in cid_list) + 127) // 128)
+               * 128, 2048)
+    # Tpad only sizes window storage/transfer (the DP runs over Qpad rows
+    # with a fixed band), so a finer 512-step bucket is enough
+    Tpad = ((max(c.window_len for c in cands) + 511) // 512) * 512
+    n_chunk_rows = _p2(len(cid_list), 128)
     chunks_blob = np.full((n_chunk_rows, Qpad), 4, np.int8)
     chunk_lens = np.ones(n_chunk_rows, np.int32)
     for i, cid in enumerate(cid_list):
