@@ -636,15 +636,15 @@ def _bucket_nseg(n: int) -> int:
     STATIC jit arg, so every distinct template count would otherwise compile
     its own scan program (~minutes each on the tunneled TPU) — at 1 Mb scale
     polish rounds shrink the active-template set every round and the stats
-    groups split arbitrarily, so raw counts almost never repeat.  Buckets
-    {8,16,32, then 32-multiples} keep the compile space tiny; padding rows
-    land in unused segments that are sliced off host-side (the waste is
-    bounded at 31 rows of transfer)."""
-    if n <= 8:
-        return 8
-    if n <= 16:
-        return 16
-    return ((n + 31) // 32) * 32
+    groups split arbitrarily, so raw counts almost never repeat.  POWER-OF-
+    TWO buckets (from 8) keep the compile space tiny and STABLE as the
+    chunk set drifts across a run (413 -> 409 -> ... all land on 512);
+    padding rows land in unused segments sliced off host-side — the dense
+    totals stay device-resident, so the waste is HBM rows, not transfer."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
 
 
 def _gain_segments(lk, tab, seg, n_seg: int):
