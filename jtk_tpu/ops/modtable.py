@@ -647,6 +647,19 @@ def _bucket_nseg(n: int) -> int:
     return b
 
 
+def _segsum_matmul(x, seg, n_rows: int):
+    """Segment sum over the leading axis as a one-hot MATMUL: segment_sum
+    lowers to scatter-adds that serialize on TPU (they were ~40% of the
+    fused slice and ~2/3 of the stats slice); a (n_rows, B) one-hot times
+    the flattened batch rides the MXU and reads the operand once."""
+    B = x.shape[0]
+    oh = (jnp.asarray(seg)[None, :] ==
+          jnp.arange(n_rows)[:, None]).astype(jnp.float32)
+    flat = x.reshape(B, -1)
+    out = jax.lax.dot(oh, flat, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((n_rows,) + x.shape[1:])
+
+
 def _gain_segments(lk, tab, seg, n_seg: int):
     """Per-pair gain (tab - lk, masked entries pinned at -1e30) reduced into
     per-template totals ON DEVICE — the (B, Tpad+1, NUM_EDIT) table never
@@ -655,7 +668,7 @@ def _gain_segments(lk, tab, seg, n_seg: int):
     pairs."""
     gain = jnp.where(tab < jnp.float32(-1e29), jnp.float32(-1e30),
                      tab - lk[:, None, None])
-    tot = jax.ops.segment_sum(gain, seg, num_segments=n_seg + 1)
+    tot = _segsum_matmul(gain, seg, n_seg + 1)
     return lk, tot[:n_seg]
 
 
@@ -725,7 +738,7 @@ def _pallas_modtable_fused_stats(prep, seg, exp_mat, fwd, W: int, Q: int,
         (nz & f & ~sgn).astype(jnp.float32),
         (nz & f & sgn).astype(jnp.float32),
     ], axis=-1)
-    stats = jax.ops.segment_sum(planes, seg, num_segments=n_seg + 1)
+    stats = _segsum_matmul(planes, seg, n_seg + 1)
     return lk, stats[:n_seg], tab
 
 
