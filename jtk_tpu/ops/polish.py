@@ -43,6 +43,21 @@ def effective_band(W: int, q_lens, t_len: int) -> int:
 BAND_MULTS = (1, 2, 4, 8)
 
 
+def pad_bucket(n: int, step: int = 256, knee: int = 2304) -> int:
+    """Shape bucket for jit padding dims: fine ``step`` multiples through
+    the hot ~2 kb chunk region, then doubling buckets.  Arbitrary-length
+    inputs (dense-encoding edge labels run 400–10000 bp,
+    dense_encoding.rs:548-579) otherwise mint a fresh compiled shape per
+    length — a 1 Mb run sat ~30 min in back-to-back Mosaic compiles for
+    one-off label sizes."""
+    if n <= knee:
+        return max(step, ((n + step - 1) // step) * step)
+    b = knee * 2
+    while b < n:
+        b *= 2
+    return b
+
+
 def band_buckets(q_lens, t_lens, W: int):
     """Partition pair indices by the band each pair actually needs.
 
@@ -116,7 +131,7 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
     import jax.numpy as jnp
     for Wb, bidx in buckets:
         qlb = q_lens[bidx]
-        Qpad = ((int(qlb.max()) + 255) // 256) * 256
+        Qpad = pad_bucket(int(qlb.max()))
         qs = np.stack([_pad_to(reads[b], Qpad, 4) for b in bidx])
         offs = np.stack([linear_offsets(int(l), t_len, Qpad, Wb)
                          for l in qlb])
@@ -240,14 +255,16 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
     if strands is None:
         strands = [None] * n
     pallas_on = use_pallas()
-    Tpad = ((max((len(t) for t in tpls), default=1) + 127) // 128) * 128 + 128
+    Tpad = pad_bucket(max((len(t) for t in tpls), default=1)
+                      + 128, step=128)
     for _ in range(max_rounds):
         _t_round = time.time()
         idxs = [i for i in range(n) if active[i]]
         if not idxs:
             break
         while any(len(tpls[i]) + 8 > Tpad for i in idxs):
-            Tpad += 128
+            Tpad = pad_bucket(max(len(tpls[i]) for i in idxs) + 128,
+                              step=128)
         # flat batch of (read, template-of-its-pileup) pairs
         pair_tpl_idx, pair_reads, pair_strand = [], [], []
         pair_read_idx = []
@@ -276,7 +293,7 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
         for Wb, bidx in buckets:
             qlb = q_lens[bidx]
             tlb = t_lens[bidx]
-            Qpad = ((int(qlb.max()) + 255) // 256) * 256
+            Qpad = pad_bucket(int(qlb.max()))
             nb = len(bidx)
             qs = np.full((nb, Qpad), 4, np.int8)
             tpl_mat = np.full((nb, Tpad), 4, np.int8)
@@ -370,11 +387,11 @@ def polish_until_converge(template: np.ndarray, reads: list[np.ndarray],
     if not reads:
         return template, np.zeros(0)
     tpl = np.asarray(template, np.int8)
-    Tpad = ((len(tpl) + 127) // 128) * 128 + 128  # headroom for insertions
+    Tpad = pad_bucket(len(tpl) + 128, step=128)  # headroom for insertions
     lks = None
     for _ in range(max_rounds):
         if len(tpl) + 8 > Tpad:
-            Tpad += 128
+            Tpad = pad_bucket(len(tpl) + 128, step=128)
         lks, total = pileup_modification_gains(tpl, reads, params, W, Tpad,
                                                strands=strands,
                                                params_rev=params_rev)

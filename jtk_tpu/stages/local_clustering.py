@@ -530,7 +530,7 @@ def _batched_profiles(per_chunk, params_f, params_r, band, Tpad,
             pair_tpl.append(template)
     if not pair_reads:
         return {}
-    from ..ops.polish import band_buckets
+    from ..ops.polish import band_buckets, pad_bucket
     q_lens = np.array([len(r) for r in pair_reads], np.int32)
     t_lens = np.array([len(t) for t in pair_tpl], np.int32)
     Bp = len(pair_reads)
@@ -541,7 +541,7 @@ def _batched_profiles(per_chunk, params_f, params_r, band, Tpad,
     lks_all[dropped] = -1e30
     for Wb, bidx in buckets:
         qlb, tlb = q_lens[bidx], t_lens[bidx]
-        Qpad = ((int(qlb.max()) + 255) // 256) * 256
+        Qpad = pad_bucket(int(qlb.max()))
         nb = len(bidx)
         qs = np.full((nb, Qpad), 4, np.int8)
         tpl_mat = np.full((nb, Tpad), 4, np.int8)
@@ -638,7 +638,7 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
             seg_ids.append(pos_c)
     if not pair_reads:
         return {}
-    from ..ops.polish import band_buckets
+    from ..ops.polish import band_buckets, pad_bucket
     q_lens = np.array([len(r) for r in pair_reads], np.int32)
     t_lens = np.array([len(t) for t in pair_tpl], np.int32)
     Bp = len(pair_reads)
@@ -653,7 +653,7 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
     bucket_gathers = []  # (bidx, gather)
     for Wb, bidx in buckets:
         qlb, tlb = q_lens[bidx], t_lens[bidx]
-        Qpad = ((int(qlb.max()) + 255) // 256) * 256
+        Qpad = pad_bucket(int(qlb.max()))
         nb = len(bidx)
         qs = np.full((nb, Qpad), 4, np.int8)
         tpl_mat = np.full((nb, Tpad), 4, np.int8)
@@ -734,14 +734,14 @@ def _batched_refresh_cigars(per_chunk, band, max_batch=512):
             pair_tpl.append(template)
     if not pair_reads:
         return {}
-    from ..ops.polish import band_buckets
+    from ..ops.polish import band_buckets, pad_bucket
     q_lens = np.array([len(r) for r in pair_reads], np.int32)
     t_lens = np.array([len(t) for t in pair_tpl], np.int32)
     buckets, dropped = band_buckets(q_lens, t_lens, band)
     cigars = [None] * len(pair_reads)  # dropped pairs keep their old cigar
     dispatched = []
     for Wb, bidx in buckets:
-        Qpad = ((int(q_lens[bidx].max()) + 255) // 256) * 256
+        Qpad = pad_bucket(int(q_lens[bidx].max()))
         Tmax = ((int(t_lens[bidx].max()) + 63) // 64) * 64
         for s in range(0, len(bidx), max_batch):
             grp = bidx[s:s + max_batch]
