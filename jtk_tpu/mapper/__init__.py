@@ -416,14 +416,29 @@ def extend_candidates(cands: list[Candidate], read_codes: list[np.ndarray],
     # bucket covering the tail (e.g. 4311 -> 4096 + 512)
     # traceback storage is O(B * Qpad * W * 3 bytes) in HBM (ptrs uint8 +
     # run lengths uint16): cap the largest bucket so it stays under ~8.5 GB
-    cap = max(512, int(8.5e9) // (Qpad * W * 3) // 512 * 512)
-    buckets = sorted({max(batch // 4, 128), batch, 2 * batch, 4 * batch})
+    # the Pallas engine slices the pair dim internally (pallas_k3 maxb), so
+    # its peak HBM is one slice regardless of the outer bucket; only the
+    # XLA-scan fallback materializes the whole (B, Qpad, W) stream at once
+    if _use_pallas_k3():
+        cap = 4 * batch
+    else:
+        cap = max(512, int(8.5e9) // (Qpad * W * 3) // 512 * 512)
+    # intermediate sizes (1.5x/3x) keep the padding rule satisfiable with a
+    # SINGLE dispatch for most candidate counts: every extra dispatch pays
+    # the tunnel RPC floor, which dwarfs the <=30% padding compute (the
+    # Pallas kernel slices the pair dim internally at a fixed size, so new
+    # outer buckets reuse the cached Mosaic kernel)
+    buckets = sorted({max(batch // 4, 128), max(batch // 2, 128), batch,
+                      3 * batch // 2, 2 * batch, 3 * batch, 4 * batch})
     buckets = [b for b in buckets if b <= cap] or [cap]
     s = 0
     while s < len(cands):
         rem = len(cands) - s
         up = next((b for b in buckets if b >= rem), None)
-        if up is not None and up - rem < int(0.3 * up):
+        # measured on the tunnel: batch collects pipeline (dispatch is
+        # async), so padded rows cost MORE transfer than a merged dispatch
+        # saves in RPC — accept only modest padding to round a tail up
+        if up is not None and up - rem < int(0.15 * up):
             B = up  # one dispatch, acceptable padding
         else:
             fit = [b for b in buckets if b <= rem]

@@ -457,7 +457,7 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
                                      params_rev=None,
                                      seg_ids=None, n_seg=None,
                                      sparse_k=None, min_gain=0.0,
-                                     finish=True):
+                                     finish=True, defer=False):
     """Pallas-engine modification tables: the banded fwd/bwd wavefronts run
     in the fused VMEM-resident kernels (ops.pallas_phmm) streaming tables to
     HBM; the oracle-tested closed-form assembly then reads them — all in a
@@ -532,7 +532,7 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
         # dump segment.
         SCAN_MAX = 8
         Wr = ((int(W) + 127) // 128) * 128
-        lk_parts = []
+        lk_handles, grp_S = [], []
         tot = None  # device-resident accumulator: dense totals stay on HBM
         for g0 in range(0, len(preps), SCAN_MAX):
             pg = preps[g0:g0 + SCAN_MAX]
@@ -547,14 +547,23 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
             stacked = {k: np.stack([p[k] for p in pg]) for k in pg[0]}
             lks_s, t = _fused_reduced_scan(stacked, np.stack(sg), Wr, Q,
                                            Tpad, interpret, n_seg_b)
-            lks_s = np.asarray(lks_s)[:S]
-            lk_parts.extend(lks_s)
+            lk_handles.append(lks_s)
+            grp_S.append(S)
             tot = t if tot is None else jnp.add(tot, t)
-        lk_out = np.concatenate([lk_parts[i][:n]
-                                 for i, n in enumerate(n_reals)])
+
+        def collect_lk():
+            parts = jax.device_get(lk_handles)
+            lk_parts = []
+            for arr, S in zip(parts, grp_S):
+                lk_parts.extend(np.asarray(arr)[:S])
+            return np.concatenate([lk_parts[i][:n]
+                                   for i, n in enumerate(n_reals)])
+
         if not finish:
-            return lk_out, tot  # device-resident (n_seg_b, Tpad+1, NUM_EDIT)
-        return lk_out, _finish_gains(tot, n_seg, sparse_k, min_gain)
+            if defer:  # device-resident tot; lks fetched by the caller
+                return collect_lk, tot
+            return collect_lk(), tot
+        return collect_lk(), _finish_gains(tot, n_seg, sparse_k, min_gain)
     lks, tabs = [], []
     totals = None
     for s in range(0, B_all, B_slice):
@@ -574,17 +583,25 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
         lk, tab = _pileup_pallas_exact(
             qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params, W,
             Tpad, interpret, st_s, params_rev, seg_ids=seg_s, n_seg=n_seg_b)
-        lks.append(np.asarray(lk)[:e - s])
+        lks.append((lk, e - s))
         if reduce:
             totals = tab if totals is None else jnp.add(totals, tab)
         else:
             tabs.append(np.asarray(tab)[:e - s])
+
+    def collect_lk():
+        parts = jax.device_get([h for h, _n in lks])
+        return np.concatenate([np.asarray(a)[:n]
+                               for a, (_h, n) in zip(parts, lks)])
+
     if reduce:
         if not finish:
-            return np.concatenate(lks), totals
-        return np.concatenate(lks), _finish_gains(totals, n_seg, sparse_k,
-                                                  min_gain)
-    return np.concatenate(lks), np.concatenate(tabs)
+            if defer:
+                return collect_lk, totals
+            return collect_lk(), totals
+        return collect_lk(), _finish_gains(totals, n_seg, sparse_k,
+                                           min_gain)
+    return collect_lk(), np.concatenate(tabs)
 
 
 class SparseGains:
@@ -839,7 +856,8 @@ _MESHES: dict = {}
 def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
                                  W: int, Tpad: int, strands, params_rev,
                                  seg_ids, n_seg: int, exp_mat,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 defer: bool = False):
     """Variant-stats flavour of modification_table_pileup_pallas: one fused
     dispatch per MAXB slice computes the modtables AND reduces them to
     per-template variant statistics on device; the per-pair tables stay
@@ -849,6 +867,12 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
     Returns (lks (B,), stats (n_seg, Tpad+1, NUM_EDIT, 6),
     gather(flat_cols) -> (raw (B, U), comp (B, U))).
     stats planes: [support count, supported gain, rev-, rev+, fwd-, fwd+].
+
+    With ``defer=True`` returns (collect, gather) where ``collect()`` ->
+    (lks, stats): the device work is dispatched (async) but NOT waited on,
+    so a caller looping over band buckets can enqueue every bucket before
+    paying any round-trip — on the tunneled link a tiny tail bucket's RPC
+    floor otherwise serializes behind the main bucket's compute.
     """
     from .pallas_phmm import _prep_tables_inputs
     interpret = interpret or jax.default_backend() != "tpu"
@@ -897,21 +921,21 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
         segs.append(seg_p)
         fwds.append(fwd_p)
         n_reals.append(e - s)
+    # dispatch every slice/group WITHOUT waiting on results; ``collect``
+    # materializes them in one blocking fetch
+    tabs, lk_d, seg_d, grp_sizes = [], [], [], []
+    st_handles = []
     if len(preps) == 1:
         lk, st_out, tab = _pallas_modtable_fused_stats(
             preps[0], segs[0], exp_pad, fwds[0], W, Q, Tpad, interpret,
             n_seg_b)
-        lks = np.asarray(lk)[:n_reals[0]]
-        stats = np.asarray(st_out, np.float64)[:n_seg]
+        st_handles.append(st_out)
         tabs, lk_d, seg_d = [tab[None]], [lk[None]], [segs[0][None]]
         grp_sizes = [1]
     else:
         # grouped scans (see the reduced path: one giant scan trips the
         # tunnel worker's deadline)
         SCAN_MAX = 8
-        tabs, lk_d, seg_d, grp_sizes = [], [], [], []
-        stats = None
-        lk_parts = []
         for g0 in range(0, len(preps), SCAN_MAX):
             pg = preps[g0:g0 + SCAN_MAX]
             sg = segs[g0:g0 + SCAN_MAX]
@@ -927,18 +951,29 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
             lkg, st_out, tabg = _fused_stats_scan(
                 stacked, np.stack(sg), exp_pad, np.stack(fg), W, Q, Tpad,
                 interpret, n_seg_b)
-            t = np.asarray(st_out, np.float64)[:n_seg]
-            stats = t if stats is None else stats + t
-            lk_parts.extend(np.asarray(lkg)[:S])
+            st_handles.append(st_out)
             tabs.append(tabg)
             lk_d.append(lkg)
             seg_d.append(np.stack(sg))
             grp_sizes.append(S)
+    _t_disp = _time.time() - _t0
+
+    def collect():
+        fetched = jax.device_get([st_handles, lk_d])
+        stats = None
+        lk_parts = []
+        for st_np, lkg_np, S in zip(fetched[0], fetched[1], grp_sizes):
+            t = np.asarray(st_np, np.float64)[:n_seg]
+            stats = t if stats is None else stats + t
+            lk_parts.extend(np.asarray(lkg_np)[:S])
         lks = np.concatenate([lk_parts[i][:n]
                               for i, n in enumerate(n_reals)])
-    logger.info("modtable stats: %d pairs, %d slices, W=%d Q=%d n_seg=%d->%d"
-                " %.1fs", B_all, len(preps), W, Q, n_seg, n_seg_b,
-                _time.time() - _t0)
+        logger.info("modtable stats: %d pairs, %d slices, W=%d Q=%d "
+                    "n_seg=%d->%d dispatch %.1fs total %.1fs", B_all,
+                    len(preps), W, Q, n_seg, n_seg_b, _t_disp,
+                    _time.time() - _t0)
+        return lks, stats
+
     Bs = preps[0]["q_lens_p"].shape[0]
 
     def gather(flat_cols):
@@ -961,6 +996,9 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
             comps.append(c[rows][:, :len(cols)])
         return np.concatenate(raws), np.concatenate(comps)
 
+    if defer:
+        return collect, gather
+    lks, stats = collect()
     return lks, stats, gather
 
 

@@ -128,6 +128,7 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
     lks[dropped] = -1e30
     pallas_on = use_pallas()
     tot_dev = None
+    pending_lk = []  # (bidx, collect): fetch once everything is dispatched
     import jax.numpy as jnp
     for Wb, bidx in buckets:
         qlb = q_lens[bidx]
@@ -140,12 +141,12 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
             # accumulate across band buckets
             st = None if strands is None or params_rev is None \
                 else np.asarray(strands, bool)[bidx]
-            lk, tot = modification_table_pileup_pallas(
+            lk_c, tot = modification_table_pileup_pallas(
                 qs, tpl, offs, qlb, np.int32(t_len), params, Wb, Tpad,
                 strands=st, params_rev=params_rev,
                 seg_ids=np.zeros(len(bidx), np.int32), n_seg=1,
-                finish=False)
-            lks[bidx] = np.asarray(lk, np.float64)
+                finish=False, defer=True)
+            pending_lk.append((bidx, lk_c))
             tot_dev = tot if tot_dev is None else jnp.add(tot_dev, tot)
             continue
         if strands is None or params_rev is None:
@@ -169,6 +170,8 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
                 total += np.where(tab < -1e29, -1e30, gain).sum(axis=0)
     if pallas_on and tot_dev is not None:
         total += finish_gains(tot_dev, 1, None, 0.0)[0]
+    for bidx, lk_c in pending_lk:
+        lks[bidx] = np.asarray(lk_c(), np.float64)
     return lks, total
 
 
@@ -289,6 +292,7 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
             for b in dropped:
                 lks[pair_tpl_idx[b]][pair_read_idx[b]] = -1e30
         tot_dev = None
+        pending_lk = []  # (bidx, collect) fetched after all dispatches
         import jax.numpy as jnp
         for Wb, bidx in buckets:
             qlb = q_lens[bidx]
@@ -314,13 +318,16 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
                 # round over a ~5 MB/s tunnel)
                 seg_ids = np.array([loc[pair_tpl_idx[b]] for b in bidx],
                                    np.int32)
-                lk, tot = modification_table_pileup_pallas(
+                # defer=True: the lk fetch is postponed until EVERY band
+                # bucket (and the sparse-gain finish) has been dispatched —
+                # a small wide-band tail bucket otherwise pays its RPC floor
+                # serially after the main bucket's compute
+                lk_c, tot = modification_table_pileup_pallas(
                     qs, tpl_mat, offs, qlb, tlb, params, Wb, Tpad,
                     strands=st_b, params_rev=params_rev,
-                    seg_ids=seg_ids, n_seg=len(idxs), finish=False)
-                lk = np.asarray(lk, np.float64)
-                for p, b in enumerate(bidx):
-                    lks[pair_tpl_idx[b]][pair_read_idx[b]] = lk[p]
+                    seg_ids=seg_ids, n_seg=len(idxs), finish=False,
+                    defer=True)
+                pending_lk.append((bidx, lk_c))
                 tot_dev = tot if tot_dev is None else jnp.add(tot_dev, tot)
             else:
                 if params_rev is None:
@@ -346,6 +353,10 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
         if pallas_on and tot_dev is not None:
             from .modtable import finish_gains
             sparse = finish_gains(tot_dev, len(idxs), SPARSE_K, min_gain)
+        for bidx, lk_c in pending_lk:
+            lk = np.asarray(lk_c(), np.float64)
+            for p, b in enumerate(bidx):
+                lks[pair_tpl_idx[b]][pair_read_idx[b]] = lk[p]
         logger.debug("polish_many round: %d tpls, %d pairs, buckets %s, "
                      "%d dropped (%.1fs)", len(idxs), Bp,
                      [(w, len(ix)) for w, ix in buckets], len(dropped),

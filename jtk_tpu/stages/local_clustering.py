@@ -649,7 +649,10 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
     exp_mats = np.stack([exp_info[cid][0] for cid in order])
     _t0 = time.time()
     buckets, _dropped = band_buckets(q_lens, t_lens, band)
-    stats = None
+    # dispatch EVERY band bucket before collecting any: a tiny tail bucket
+    # (a handful of wide-band pairs) costs a full RPC floor on the tunnel,
+    # which would otherwise serialize behind the main bucket's compute
+    pending = []  # (bidx, collect)
     bucket_gathers = []  # (bidx, gather)
     for Wb, bidx in buckets:
         qlb, tlb = q_lens[bidx], t_lens[bidx]
@@ -662,12 +665,16 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
             tpl_mat[p, :len(pair_tpl[b])] = pair_tpl[b]
         offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Wb)
                          for ql, tl in zip(qlb, tlb)])
-        _lks, st, g = modtable_pileup_stats_pallas(
+        coll, g = modtable_pileup_stats_pallas(
             qs, tpl_mat, offs, qlb, tlb, params_f, Wb, Tpad,
             pair_strand[bidx], params_r, seg_ids[bidx],
-            len(order), exp_mats)
-        stats = st if stats is None else stats + st
+            len(order), exp_mats, defer=True)
+        pending.append((bidx, coll))
         bucket_gathers.append((bidx, g))
+    stats = None
+    for _bidx, coll in pending:
+        _lks, st = coll()
+        stats = st if stats is None else stats + st
 
     def gather(cols):
         raw = np.zeros((Bp, len(cols)), np.float32)
