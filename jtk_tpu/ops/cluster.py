@@ -177,6 +177,10 @@ def mcmc_cluster_batch(X, R_actual, size_lk, key, K: int, steps: int,
                                        state["best_assign"])
         return out, None
 
+    # NB: scan unroll=8 was measured at parity with unroll=1 (5.2 s vs
+    # 5.0 s for 80k steps at B=16,res=20) — the chain cost is the step
+    # body's serial op latency, not loop overhead, and each flip genuinely
+    # conditions on the previous state
     state, _ = jax.lax.scan(step, state, np.arange(steps))
     # pick the best restart per batch element
     best_r = jnp.argmax(state["best_lk"], axis=1)
