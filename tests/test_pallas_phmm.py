@@ -138,6 +138,31 @@ def test_pallas_modtable_strand_params():
         np.testing.assert_allclose(tp[mask], ts[mask], rtol=1e-4, atol=5e-2)
 
 
+def test_pallas_modtable_defer_matches_eager():
+    """defer=True (async cross-bucket dispatch) must return byte-identical
+    lks and device gain totals to the eager path — it only reorders the
+    host-side fetches, never the device computation."""
+    from jtk_tpu.ops.modtable import (finish_gains,
+                                      modification_table_pileup_pallas)
+    rng = np.random.default_rng(11)
+    params = PHMMParams.from_hmmparam(HMMParam())
+    template, qs, offs, q_lens, W = _prep_batch(rng, n_reads=6)
+    tlen = len(template)
+    tpl = np.asarray(template, np.int8)
+    seg = np.array([0, 0, 1, 1, 1, 0], np.int32)
+    lk_e, tot_e = modification_table_pileup_pallas(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, tlen,
+        interpret=True, seg_ids=seg, n_seg=2, finish=False)
+    lk_c, tot_d = modification_table_pileup_pallas(
+        qs, tpl, offs, q_lens, np.int32(tlen), params, W, tlen,
+        interpret=True, seg_ids=seg, n_seg=2, finish=False, defer=True)
+    assert callable(lk_c)
+    np.testing.assert_array_equal(np.asarray(lk_e), np.asarray(lk_c()))
+    g_e = finish_gains(tot_e, 2, None, 0.0)
+    g_d = finish_gains(tot_d, 2, None, 0.0)
+    np.testing.assert_array_equal(np.asarray(g_e), np.asarray(g_d))
+
+
 def test_pallas_modtable_reduced_totals_match_host():
     """seg_ids/n_seg: the on-device segment reduction must equal summing the
     per-pair gain tables on the host (polish_many's transfer saver)."""
