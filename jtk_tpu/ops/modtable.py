@@ -547,12 +547,16 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
             stacked = {k: np.stack([p[k] for p in pg]) for k in pg[0]}
             lks_s, t = _fused_reduced_scan(stacked, np.stack(sg), Wr, Q,
                                            Tpad, interpret, n_seg_b)
+            if not defer:
+                # per-group sync: bounds how many enqueued programs the
+                # backend holds at once (all-async OOMed HBM at ~8k pairs)
+                lks_s = np.asarray(lks_s)
             lk_handles.append(lks_s)
             grp_S.append(S)
             tot = t if tot is None else jnp.add(tot, t)
 
         def collect_lk():
-            parts = jax.device_get(lk_handles)
+            parts = (jax.device_get(lk_handles) if defer else lk_handles)
             lk_parts = []
             for arr, S in zip(parts, grp_S):
                 lk_parts.extend(np.asarray(arr)[:S])
@@ -583,6 +587,8 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
         lk, tab = _pileup_pallas_exact(
             qs[sl], tpl_s, offs[sl], q_lens[sl], tl_s, params, W,
             Tpad, interpret, st_s, params_rev, seg_ids=seg_s, n_seg=n_seg_b)
+        if not defer:  # per-slice sync (see the scan path)
+            lk = np.asarray(lk)
         lks.append((lk, e - s))
         if reduce:
             totals = tab if totals is None else jnp.add(totals, tab)
@@ -590,7 +596,8 @@ def modification_table_pileup_pallas(qs, tpl, offs, q_lens, t_len, params,
             tabs.append(np.asarray(tab)[:e - s])
 
     def collect_lk():
-        parts = jax.device_get([h for h, _n in lks])
+        parts = ([h for h, _n in lks] if not defer
+                 else jax.device_get([h for h, _n in lks]))
         return np.concatenate([np.asarray(a)[:n]
                                for a, (_h, n) in zip(parts, lks)])
 
@@ -924,12 +931,17 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
     # dispatch every slice/group WITHOUT waiting on results; ``collect``
     # materializes them in one blocking fetch
     tabs, lk_d, seg_d, grp_sizes = [], [], [], []
-    st_handles = []
+    st_parts, lk_parts_h = [], []  # host (eager) or device (defer) handles
     if len(preps) == 1:
         lk, st_out, tab = _pallas_modtable_fused_stats(
             preps[0], segs[0], exp_pad, fwds[0], W, Q, Tpad, interpret,
             n_seg_b)
-        st_handles.append(st_out)
+        if not defer:
+            st_out, lk_h = np.asarray(st_out), np.asarray(lk)
+        else:
+            lk_h = lk
+        st_parts.append(st_out)
+        lk_parts_h.append(lk_h[None] if lk_h.ndim == 1 else lk_h)
         tabs, lk_d, seg_d = [tab[None]], [lk[None]], [segs[0][None]]
         grp_sizes = [1]
     else:
@@ -951,7 +963,14 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
             lkg, st_out, tabg = _fused_stats_scan(
                 stacked, np.stack(sg), exp_pad, np.stack(fg), W, Q, Tpad,
                 interpret, n_seg_b)
-            st_handles.append(st_out)
+            if not defer:
+                # per-group sync: bounds enqueued-program buffers (the
+                # all-async variant OOMed HBM at ~8k-pair stats passes)
+                st_out, lkg_h = np.asarray(st_out), np.asarray(lkg)
+            else:
+                lkg_h = lkg
+            st_parts.append(st_out)
+            lk_parts_h.append(lkg_h)
             tabs.append(tabg)
             lk_d.append(lkg)
             seg_d.append(np.stack(sg))
@@ -959,7 +978,10 @@ def modtable_pileup_stats_pallas(qs, tpl, offs, q_lens, t_len, params,
     _t_disp = _time.time() - _t0
 
     def collect():
-        fetched = jax.device_get([st_handles, lk_d])
+        if defer:
+            fetched = jax.device_get([st_parts, lk_parts_h])
+        else:
+            fetched = (st_parts, lk_parts_h)
         stats = None
         lk_parts = []
         for st_np, lkg_np, S in zip(fetched[0], fetched[1], grp_sizes):

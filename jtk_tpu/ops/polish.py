@@ -43,6 +43,20 @@ def effective_band(W: int, q_lens, t_len: int) -> int:
 BAND_MULTS = (1, 2, 4, 8)
 
 
+def defer_ok(n_pairs: int) -> bool:
+    """Whether cross-bucket deferred dispatch is safe for this batch size.
+
+    Deferring removes every host sync between bucket/scan-group dispatches,
+    which hides the tail bucket's RPC floor — but it also lets the backend
+    hold many enqueued programs' buffers at once: a 500 kb validation run
+    OOMed HBM in the variant-stats pass (~8k pairs, 6 scan groups enqueued)
+    where the per-group-synced path had always fit.  Large batches take the
+    proven serial path; the overlap only matters at small batch sizes
+    anyway (the floor is ~amortized once compute dominates)."""
+    import os
+    return n_pairs <= int(os.environ.get("JTK_TPU_DEFER_MAX_PAIRS", 1024))
+
+
 def pad_bucket(n: int, step: int = 256, knee: int = 2304) -> int:
     """Shape bucket for jit padding dims: fine ``step`` multiples through
     the hot ~2 kb chunk region, then doubling buckets.  Arbitrary-length
@@ -145,7 +159,9 @@ def pileup_modification_gains(template: np.ndarray, reads: list[np.ndarray],
                 qs, tpl, offs, qlb, np.int32(t_len), params, Wb, Tpad,
                 strands=st, params_rev=params_rev,
                 seg_ids=np.zeros(len(bidx), np.int32), n_seg=1,
-                finish=False, defer=True)
+                finish=False, defer=defer_ok(R))
+            if not callable(lk_c):
+                lk_c = (lambda v=lk_c: v)
             pending_lk.append((bidx, lk_c))
             tot_dev = tot if tot_dev is None else jnp.add(tot_dev, tot)
             continue
@@ -326,7 +342,9 @@ def polish_many(templates: list, pileups: list, params: PHMMParams,
                     qs, tpl_mat, offs, qlb, tlb, params, Wb, Tpad,
                     strands=st_b, params_rev=params_rev,
                     seg_ids=seg_ids, n_seg=len(idxs), finish=False,
-                    defer=True)
+                    defer=defer_ok(Bp))
+                if not callable(lk_c):
+                    lk_c = (lambda v=lk_c: v)
                 pending_lk.append((bidx, lk_c))
                 tot_dev = tot if tot_dev is None else jnp.add(tot_dev, tot)
             else:

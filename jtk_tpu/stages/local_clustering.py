@@ -665,10 +665,16 @@ def _variant_features_device(per_chunk, params_f, params_r, band, Tpad,
             tpl_mat[p, :len(pair_tpl[b])] = pair_tpl[b]
         offs = np.stack([linear_offsets(int(ql), int(tl), Qpad, Wb)
                          for ql, tl in zip(qlb, tlb)])
-        coll, g = modtable_pileup_stats_pallas(
+        from ..ops.polish import defer_ok
+        res = modtable_pileup_stats_pallas(
             qs, tpl_mat, offs, qlb, tlb, params_f, Wb, Tpad,
             pair_strand[bidx], params_r, seg_ids[bidx],
-            len(order), exp_mats, defer=True)
+            len(order), exp_mats, defer=defer_ok(Bp))
+        if len(res) == 2:
+            coll, g = res
+        else:  # eager: values already fetched
+            _lks_e, _st_e, g = res
+            coll = (lambda a=_lks_e, b=_st_e: (a, b))
         pending.append((bidx, coll))
         bucket_gathers.append((bidx, g))
     stats = None
